@@ -1,0 +1,349 @@
+"""Jittable fake-quantization casts (pure jnp, bit-exact vs the golden model).
+
+This is the *emulation-parity* compute path: a vectorized integer-bit
+pipeline XLA fuses into surrounding ops on the VPU.  It matches
+:mod:`fp8tpu.numerics.golden` bit-for-bit for every (format × rounding ×
+scaling) cell, which in turn replicates the reference toolkit's native cast
+kernels (/root/reference/mpemu/pytquant/cpp/fpemu_impl.cpp).
+
+Unlike the reference — which launches one C++/CUDA kernel per tensor (and
+one per *channel* for per-channel scaling, qutils.py:289-311) — scales here
+are ordinary broadcastable arrays: per-tensor scalars, per-channel columns,
+or per-block grids all run in one fused XLA computation.
+
+The production path for matmul operands additionally fuses the cast into the
+MXU epilogue (:mod:`fp8tpu.kernels.qmatmul`); this module is the numerics
+authority it is tested against.
+
+Deviations from the reference (documented, also in golden.py):
+  * stochastic rounding uses counter-based `jax.random` bits, not 16 global
+    xoroshiro seed states;
+  * all-zero block-norm blocks use scale 1.0 instead of the reference's
+    0-scale (which yields 0·inf = NaN on dequant).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .formats import FORMATS, FPFormat, RoundMode, parse_mode_string
+
+
+def sr_bits(key: jax.Array, shape) -> jax.Array:
+    """Counter-based random bits for stochastic rounding (uint16)."""
+    return jax.random.bits(key, shape, dtype=jnp.uint16)
+
+
+def _to_f16_bits(x: jax.Array, scale) -> jax.Array:
+    h = (x.astype(jnp.float32) * scale).astype(jnp.float16)
+    return jax.lax.bitcast_convert_type(h, jnp.uint16).astype(jnp.int32)
+
+
+def _from_f16_bits(u: jax.Array, inv_scale) -> jax.Array:
+    h = jax.lax.bitcast_convert_type(u.astype(jnp.uint16), jnp.float16)
+    return h.astype(jnp.float32) * inv_scale
+
+
+def _nearest_increment(mode, rnmask, rntie, positive, fmt: FPFormat):
+    half = fmt.rounding_half
+    if mode == RoundMode.RNE:
+        up = (rnmask > half) | (rntie == fmt.cast_tie_mask)
+    elif mode == RoundMode.RNAZ:
+        up = rnmask >= half
+    elif mode == RoundMode.RNTZ:
+        up = rnmask > half
+    elif mode == RoundMode.RPINF:
+        up = positive & (rnmask >= half)
+    elif mode == RoundMode.RNINF:
+        up = (~positive) & (rnmask >= half)
+    elif mode == RoundMode.RTZ:
+        up = jnp.zeros(rnmask.shape, jnp.bool_)
+    else:
+        raise ValueError(f"not a nearest mode: {mode}")
+    return up.astype(jnp.int32) << fmt.cast_lshift
+
+
+def _prep_scale(scale, x):
+    scale = jnp.asarray(scale, jnp.float32)
+    inv = jnp.float32(1.0) / scale
+    return scale, inv
+
+
+def _cast_e5m2(x, mode, scale, daz, random_bits):
+    fmt = FORMATS["e5m2"]
+    scale, inv = _prep_scale(scale, x)
+    h = _to_f16_bits(x, scale)
+
+    exp_field = h & 0x7C00
+    can_round = (h & 0x7F00) <= fmt.cast_can_round_limit
+    is_normal = (exp_field <= 0x7800) & (exp_field >= 0x0400)
+    is_denorm = exp_field == 0
+    is_naninf = exp_field == 0x7C00
+    positive = (h & 0x8000) == 0
+
+    rnmask = h & fmt.cast_grs_mask
+    rntie = h & fmt.cast_tie_mask
+    rne_incr = _nearest_increment(RoundMode.RNE, rnmask, rntie, positive, fmt)
+
+    if mode == RoundMode.STOCHASTIC:
+        rand = random_bits.astype(jnp.int32) & fmt.cast_grs_mask
+        if daz:
+            incr = rand
+        else:
+            incr = (
+                jnp.where(is_normal, rand, 0)
+                + jnp.where(is_denorm, rne_incr, 0)
+            )
+    else:
+        incr = _nearest_increment(mode, rnmask, rntie, positive, fmt)
+
+    apply = (~is_naninf) & can_round
+    if daz:
+        apply = apply & is_normal
+    h = jnp.where(apply, h + incr, h)
+    if daz:
+        h = jnp.where(is_denorm, 0, h)
+    h = h & fmt.mant_trunc_mask
+    return _from_f16_bits(h, inv)
+
+
+def _cast_rebias(x, fmt: FPFormat, mode, scale, random_bits):
+    scale, inv = _prep_scale(scale, x)
+    h = _to_f16_bits(x, scale)
+
+    exp = ((h >> 10) & 0x1F) - 15
+    sign = h & 0x8000
+    mant = h & 0x03FF
+
+    can_round = (h & 0x7FFF) < fmt.cast_can_round_limit
+    is_denorm = (h & 0x7C00) == 0
+    is_naninf = (h & 0x7C00) == 0x7C00
+    positive = sign == 0
+
+    sat = (exp > fmt.cast_exp_sat) | (~can_round)
+    mant = jnp.where(sat, fmt.cast_sat_mant, mant)
+    exp = jnp.where(sat, fmt.cast_exp_sat, exp)
+    can_round = can_round & (~sat)
+
+    flush = (~sat) & (exp < fmt.cast_flush_exp)
+    mant = jnp.where(flush, 0, mant)
+    exp = jnp.where(flush, -15, exp)
+
+    dn = (~sat) & (~flush) & (exp < fmt.cast_min_norm_exp)
+    dshift = jnp.where(dn, fmt.cast_min_norm_exp - exp, 0)
+    mant = jnp.where(dn, (mant >> dshift) << dshift, mant)
+
+    rnmask = mant & fmt.cast_grs_mask
+    rntie = mant & fmt.cast_tie_mask
+    rne_incr = _nearest_increment(RoundMode.RNE, rnmask, rntie, positive, fmt)
+
+    if mode == RoundMode.STOCHASTIC:
+        rand = random_bits.astype(jnp.int32) & fmt.cast_grs_mask
+        is_normal = ((h & 0x7C00) <= 0x7800) & ((h & 0x7C00) >= 0x0400)
+        incr = (
+            jnp.where(is_normal, rand, 0) + jnp.where(is_denorm, rne_incr, 0)
+        )
+    else:
+        incr = _nearest_increment(mode, rnmask, rntie, positive, fmt)
+
+    mant = jnp.where((~is_naninf) & can_round, mant + incr, mant)
+
+    mant = mant & fmt.mant_trunc_mask
+    out = (mant + ((exp + 15) << 10)) | sign
+    return _from_f16_bits(out, inv)
+
+
+def _cast_bfloat16(x, mode, random_bits):
+    # uint32 arithmetic wraps mod 2^32, matching the reference's C unsigned
+    # int pipeline (x64 is disabled, so int64 is unavailable under jit).
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    if mode == RoundMode.STOCHASTIC:
+        u = u + (random_bits.astype(jnp.uint32) & jnp.uint32(0xFFFF))
+        u = u & jnp.uint32(0xFFFF0000)
+    else:
+        grs = (u >> 13) & jnp.uint32(0xF)
+        u = u & jnp.uint32(0xFFFF0000)
+        up = ((grs & jnp.uint32(0x7)) > 0x4) | (grs == 0xC)
+        u = u + (up.astype(jnp.uint32) << 16)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def _cast_float16(x, mode, daz, random_bits):
+    xf = x.astype(jnp.float32)
+    if mode == RoundMode.RNE:
+        h = xf.astype(jnp.float16)
+        # Round-trip through a bitcast: XLA's simplifier otherwise elides
+        # the f32→f16→f32 convert pair, skipping the precision loss.
+        bits = jax.lax.bitcast_convert_type(h, jnp.uint16)
+        if daz:
+            is_denorm = (bits & 0x7C00) == 0
+            bits = jnp.where(is_denorm, jnp.uint16(0), bits)
+        h = jax.lax.bitcast_convert_type(bits, jnp.float16)
+        return h.astype(jnp.float32)
+
+    u = jax.lax.bitcast_convert_type(xf, jnp.uint32)
+    exp = ((u >> 23) & jnp.uint32(0xFF)).astype(jnp.int32) - 127
+    mant = u & jnp.uint32(0x7FFFFF)
+    sign = u & jnp.uint32(0x80000000)
+
+    nan_mant = jnp.where(
+        (mant != 0) & ((mant & jnp.uint32(0x400000)) == 0),
+        mant | jnp.uint32(0x400000), mant,
+    )
+    h_naninf = ((jnp.uint32(0x1F << 23) | nan_mant | (sign >> 3))) >> 13
+    h_inf = (jnp.uint32(0x1F << 23) | (sign >> 3)) >> 13
+    rb = random_bits.astype(jnp.uint32) & jnp.uint32(0x1FFF)
+    exp_bits = ((exp + 15).astype(jnp.uint32) & jnp.uint32(0x1FF)) << 23
+    h_norm = ((exp_bits | mant | (sign >> 3)) + rb) >> 13
+    h_denorm = jax.lax.bitcast_convert_type(
+        xf.astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+
+    h = jnp.where(
+        exp == 128, h_naninf,
+        jnp.where(exp >= 16, h_inf,
+                  jnp.where(exp < -14, h_denorm, h_norm)),
+    )
+    return jax.lax.bitcast_convert_type(
+        h.astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+
+
+def _cast_fp4(x, scale):
+    scale, inv = _prep_scale(scale, x)
+    f = x.astype(jnp.float32) * scale
+    u = jax.lax.bitcast_convert_type(f, jnp.uint32)
+    exp = ((u >> 23) & jnp.uint32(0xFF)).astype(jnp.int32) - 127
+    sign = u & jnp.uint32(0x80000000)
+
+    odd_neg = (exp < 0) & ((exp % 2) != 0)
+    f2 = jnp.where(odd_neg, f * jnp.float32(1.6), f)
+    u2 = jax.lax.bitcast_convert_type(f2, jnp.uint32)
+    u2 = jnp.where(exp > 0, sign | jnp.uint32(127 << 23), u2)
+    u2 = u2 & jnp.uint32(0xFF800000)
+    exp2 = ((u2 >> 23) & jnp.uint32(0xFF)).astype(jnp.int32) - 127
+    odd2 = (exp2 < 0) & ((exp2 % 2) != 0)
+    # (exp2 + 126) << 23 wraps like the reference's C int arithmetic.
+    fixed = sign | ((exp2 + 126).astype(jnp.uint32) << 23)
+    u2 = jnp.where(odd2, fixed, u2)
+    # Flush uses the pre-adjustment exponent, as in the reference.
+    u2 = jnp.where(exp2 < -12, jnp.uint32(0), u2)
+    out = jax.lax.bitcast_convert_type(u2, jnp.float32)
+    return out * inv
+
+
+@partial(jax.jit, static_argnames=("fmt_name", "mode", "daz"))
+def _qdq_jit(x, scale, random_bits, fmt_name: str, mode: RoundMode,
+             daz: bool):
+    fmt = FORMATS[fmt_name]
+    if fmt_name == "e5m2":
+        return _cast_e5m2(x, mode, scale, daz, random_bits)
+    if fmt_name in ("e4m3", "e4m3_ieee", "e3m4"):
+        return _cast_rebias(x, fmt, mode, scale, random_bits)
+    if fmt_name == "bfloat16":
+        return _cast_bfloat16(x, mode, random_bits)
+    if fmt_name == "float16":
+        return _cast_float16(x, mode, daz, random_bits)
+    if fmt_name == "fp4":
+        return _cast_fp4(x, scale)
+    raise ValueError(f"unknown format {fmt_name}")
+
+
+def qdq(
+    x: jax.Array,
+    fmt: FPFormat | str,
+    mode: RoundMode = RoundMode.RNE,
+    scale=1.0,
+    daz: bool = False,
+    key: Optional[jax.Array] = None,
+    random_bits: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Quantize-dequantize ``x`` onto the ``fmt`` value grid.
+
+    ``scale`` may be a scalar or any array broadcastable to ``x`` (per-channel
+    columns, per-group grids).  Stochastic rounding needs either ``key`` or
+    explicit uint16 ``random_bits`` shaped like ``x``.
+    Returns float32 with the same shape as ``x``.
+    """
+    fmt_name = fmt if isinstance(fmt, str) else fmt.name
+    x = jnp.asarray(x)
+    if mode == RoundMode.STOCHASTIC and random_bits is None:
+        if key is None:
+            raise ValueError("stochastic rounding requires key or random_bits")
+        random_bits = sr_bits(key, x.shape)
+    if random_bits is None:
+        # Dummy operand so the jitted signature stays uniform.
+        random_bits = jnp.zeros((1,) * max(x.ndim, 1), jnp.uint16)
+    scale = jnp.asarray(scale, jnp.float32)
+    return _qdq_jit(x, scale, random_bits, fmt_name, mode, daz)
+
+
+def qdq_mode_string(
+    x: jax.Array,
+    mode: str,
+    scale=1.0,
+    key: Optional[jax.Array] = None,
+    random_bits: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Reference-ABI entry point (mode strings like ``E5M2_DAZ_RNE``)."""
+    fmt, rmode, daz = parse_mode_string(mode)
+    return qdq(x, fmt, rmode, scale, daz, key, random_bits)
+
+
+def block_scales(x: jax.Array, block_size: int, fmt: FPFormat | str):
+    """Vectorized per-block scales over the flattened tensor.
+
+    scale_b = 2 · 2^⌊log2(absmax_b)⌋ / headroom   (fp8 formats)
+    scale_b = 1 / absmax_b                        (fp4)
+    All-zero blocks get scale 1.0 (deviation: the reference computes 0 and
+    then dequantizes with 1/0 = inf).
+    Requires x.size % block_size == 0 (pad upstream if needed).
+    """
+    fmt = FORMATS[fmt] if isinstance(fmt, str) else fmt
+    flat = jnp.asarray(x, jnp.float32).reshape(-1, block_size)
+    amax = jnp.max(jnp.abs(flat), axis=1)
+    if fmt.name == "fp4":
+        return jnp.where(amax > 0, 1.0 / amax, 1.0)
+    p2 = jax.lax.bitcast_convert_type(amax, jnp.uint32) & jnp.uint32(
+        0x7F800000
+    )
+    p2f = jax.lax.bitcast_convert_type(p2, jnp.float32)
+    scale = 2.0 * p2f / jnp.float32(fmt.block_headroom)
+    return jnp.where(amax > 0, scale, 1.0)
+
+
+def qdq_blocked(
+    x: jax.Array,
+    fmt: FPFormat | str,
+    mode: RoundMode = RoundMode.RNE,
+    block_size: int = 128,
+    daz: bool = False,
+    key: Optional[jax.Array] = None,
+    random_bits: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Block-normalized fake-quant: per-block power-of-two scales computed
+    in the same fused computation (the reference's ``block_norm`` path —
+    used row-wise for embeddings, e5m2_emu.py:119-120 — but vectorized
+    instead of an OpenMP block loop)."""
+    fmt = FORMATS[fmt] if isinstance(fmt, str) else fmt
+    x = jnp.asarray(x)
+    orig_shape = x.shape
+    n = x.size
+    pad = (-n) % block_size
+    flat = jnp.pad(x.reshape(-1).astype(jnp.float32), (0, pad))
+    scales = block_scales(flat, block_size, fmt)[:, None]
+    flat = flat.reshape(-1, block_size)
+    if mode == RoundMode.STOCHASTIC and random_bits is None:
+        if key is None:
+            raise ValueError("stochastic rounding requires key or random_bits")
+        random_bits = sr_bits(key, flat.shape)
+    elif random_bits is not None:
+        random_bits = jnp.pad(random_bits.reshape(-1), (0, pad)).reshape(
+            -1, block_size
+        )
+    out = qdq(flat, fmt, mode, scales, daz, random_bits=random_bits)
+    return out.reshape(-1)[:n].reshape(orig_shape)

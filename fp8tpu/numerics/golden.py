@@ -1,0 +1,389 @@
+"""Bit-exact NumPy golden model of every cast the framework implements.
+
+This is the ground truth the jnp cast (:mod:`fp8tpu.numerics.cast`) and the
+Pallas TPU kernels (:mod:`fp8tpu.kernels`) are tested against.  It
+re-implements — vectorized, in NumPy — the semantics of the reference
+toolkit's native cast libraries (/root/reference/mpemu/pytquant/cpp/
+fpemu_impl.cpp; the CUDA/HIP files implement the identical bit pipeline):
+
+    y = fp16_rne(scale * x)                # IEEE fp32→fp16, round-nearest-even
+    y = grs_round_and_truncate(y.bits)     # per-format bit manipulation
+    out = fp32(y) * (1 / scale)
+
+Deliberate deviations from the reference, all documented where they occur:
+
+* Stochastic rounding consumes caller-provided random bits instead of the
+  reference's 16 mutable xoroshiro128+ seed states (fpemu_impl.cpp:41-88) —
+  the reference PRNG stream is not part of the numerics contract, and a
+  counter-based stream is required for reproducibility under jit/shard_map
+  (SURVEY.md §5.2).  Given identical random bits, results are bit-exact
+  across golden / jnp / Pallas implementations.
+* Everything else — including reference quirks such as E4M3 saturating
+  fp16 inf/NaN to ±448, the E4M3-IEEE can_round threshold at 15.0, and the
+  denormal shift-then-round-at-fixed-position behavior — is replicated
+  bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .formats import (
+    E4M3,
+    E4M3_IEEE,
+    E5M2,
+    E3M4,
+    FP4,
+    BFLOAT16,
+    FLOAT16,
+    FPFormat,
+    RoundMode,
+    parse_mode_string,
+)
+
+_NEAREST_MODES = {
+    RoundMode.RNE, RoundMode.RNAZ, RoundMode.RNTZ,
+    RoundMode.RPINF, RoundMode.RNINF, RoundMode.RTZ,
+}
+
+
+def _to_f16_bits(x: np.ndarray, scale) -> np.ndarray:
+    """fp32 → fp16 (RNE) → uint16 bit pattern, as int32 for arithmetic."""
+    with np.errstate(over="ignore"):  # overflow to fp16 inf is intended
+        h = (np.asarray(x, np.float32) * np.float32(scale)).astype(np.float16)
+    return h.view(np.uint16).astype(np.int32)
+
+
+def _from_f16_bits(u: np.ndarray, inv_scale) -> np.ndarray:
+    return (
+        u.astype(np.uint16).view(np.float16).astype(np.float32)
+        * np.float32(inv_scale)
+    )
+
+
+def _nearest_increment(
+    mode: RoundMode,
+    rnmask: np.ndarray,
+    rntie: np.ndarray,
+    positive: np.ndarray,
+    fmt: FPFormat,
+) -> np.ndarray:
+    """Mantissa increment selector for the deterministic rounding modes.
+
+    Mirrors the mask arithmetic of cvt_fp32_e5m2_scalar
+    (fpemu_impl.cpp:744-756) parameterized by format.
+    """
+    half = fmt.rounding_half
+    up = np.zeros(rnmask.shape, np.int32)
+    if mode == RoundMode.RNE:
+        up = ((rnmask > half) | (rntie == fmt.cast_tie_mask)).astype(np.int32)
+    elif mode == RoundMode.RNAZ:
+        up = (rnmask >= half).astype(np.int32)
+    elif mode == RoundMode.RNTZ:
+        up = (rnmask > half).astype(np.int32)
+    elif mode == RoundMode.RPINF:
+        up = (positive & (rnmask >= half)).astype(np.int32)
+    elif mode == RoundMode.RNINF:
+        up = ((~positive) & (rnmask >= half)).astype(np.int32)
+    elif mode == RoundMode.RTZ:
+        up = np.zeros(rnmask.shape, np.int32)
+    else:
+        raise ValueError(f"not a nearest mode: {mode}")
+    return up << fmt.cast_lshift
+
+
+def cast_e5m2(
+    x: np.ndarray,
+    mode: RoundMode = RoundMode.RNE,
+    scale: float = 1.0,
+    daz: bool = False,
+    random_bits: np.ndarray | None = None,
+) -> np.ndarray:
+    """E5M2 fake-quant (fpemu_impl.cpp:691-763; DAZ variant 846-919)."""
+    fmt = E5M2
+    h = _to_f16_bits(x, scale)
+
+    exp_field = h & 0x7C00
+    can_round = (h & 0x7F00) <= fmt.cast_can_round_limit
+    is_normal = (exp_field <= 0x7800) & (exp_field >= 0x0400)
+    is_denorm = exp_field == 0
+    is_naninf = exp_field == 0x7C00
+    positive = (h & 0x8000) == 0
+
+    rnmask = h & fmt.cast_grs_mask
+    rntie = h & fmt.cast_tie_mask
+    rne_incr = _nearest_increment(RoundMode.RNE, rnmask, rntie, positive, fmt)
+
+    if mode == RoundMode.STOCHASTIC:
+        assert random_bits is not None, "stochastic rounding needs random bits"
+        rand = random_bits.astype(np.int32) & fmt.cast_grs_mask
+        if daz:
+            # DAZ SR rounds normals only; denormals are flushed below
+            # (fpemu_impl.cpp:891-899, 915-917).
+            incr = rand
+        else:
+            # SR for normals, RNE for fp16 denormals (fpemu_impl.cpp:736-742).
+            incr = np.where(is_normal, rand, 0) + np.where(
+                is_denorm, rne_incr, 0
+            )
+    else:
+        incr = _nearest_increment(mode, rnmask, rntie, positive, fmt)
+
+    apply = (~is_naninf) & can_round
+    if daz:
+        apply = apply & is_normal
+    h = np.where(apply, h + incr, h)
+    if daz:
+        h = np.where(is_denorm, 0, h)
+    h = h & fmt.mant_trunc_mask
+    return _from_f16_bits(h, 1.0 / np.float32(scale))
+
+
+def _cast_rebias(
+    x: np.ndarray,
+    fmt: FPFormat,
+    mode: RoundMode,
+    scale: float,
+    random_bits: np.ndarray | None,
+) -> np.ndarray:
+    """Shared E4M3 / E4M3-IEEE / E3M4 pipeline (fpemu_impl.cpp:1038-1133,
+    1330-1427, 1623-1717): decompose fp16, saturate / flush / pre-truncate
+    denormals, GRS-round, recompose."""
+    h = _to_f16_bits(x, scale)
+
+    exp = ((h >> 10) & 0x1F) - 15
+    sign = h & 0x8000
+    mant = h & 0x03FF
+
+    can_round = (h & 0x7FFF) < fmt.cast_can_round_limit
+    is_denorm = (h & 0x7C00) == 0
+    is_naninf = (h & 0x7C00) == 0x7C00
+    positive = sign == 0
+
+    # Saturate (note: fp16 inf/NaN also saturate to ±max — reference quirk).
+    sat = (exp > fmt.cast_exp_sat) | (~can_round)
+    mant = np.where(sat, fmt.cast_sat_mant, mant)
+    exp = np.where(sat, fmt.cast_exp_sat, exp)
+    can_round = can_round & (~sat)
+
+    # Flush below the subnormal range.
+    flush = (~sat) & (exp < fmt.cast_flush_exp)
+    mant = np.where(flush, 0, mant)
+    exp = np.where(flush, -15, exp)
+
+    # Denormal range: zero out sub-representable low bits before rounding.
+    dn = (~sat) & (~flush) & (exp < fmt.cast_min_norm_exp)
+    dshift = np.where(dn, fmt.cast_min_norm_exp - exp, 0)
+    mant = np.where(dn, (mant >> dshift) << dshift, mant)
+
+    rnmask = mant & fmt.cast_grs_mask
+    rntie = mant & fmt.cast_tie_mask
+    rne_incr = _nearest_increment(RoundMode.RNE, rnmask, rntie, positive, fmt)
+
+    if mode == RoundMode.STOCHASTIC:
+        assert random_bits is not None, "stochastic rounding needs random bits"
+        rand = random_bits.astype(np.int32) & fmt.cast_grs_mask
+        is_normal = ((h & 0x7C00) <= 0x7800) & ((h & 0x7C00) >= 0x0400)
+        incr = np.where(is_normal, rand, 0) + np.where(is_denorm, rne_incr, 0)
+    else:
+        incr = _nearest_increment(mode, rnmask, rntie, positive, fmt)
+
+    mant = np.where((~is_naninf) & can_round, mant + incr, mant)
+
+    # Truncate and recompose; mantissa carry into the exponent is intended.
+    mant = mant & fmt.mant_trunc_mask
+    out = (mant + ((exp + 15) << 10)) | sign
+    return _from_f16_bits(out, 1.0 / np.float32(scale))
+
+
+def cast_e4m3(x, mode=RoundMode.RNE, scale=1.0, random_bits=None):
+    return _cast_rebias(x, E4M3, mode, scale, random_bits)
+
+
+def cast_e4m3_ieee(x, mode=RoundMode.RNE, scale=1.0, random_bits=None):
+    return _cast_rebias(x, E4M3_IEEE, mode, scale, random_bits)
+
+
+def cast_e3m4(x, mode=RoundMode.RNE, scale=1.0, random_bits=None):
+    return _cast_rebias(x, E3M4, mode, scale, random_bits)
+
+
+def cast_bfloat16(
+    x: np.ndarray,
+    mode: RoundMode = RoundMode.RNE,
+    random_bits: np.ndarray | None = None,
+) -> np.ndarray:
+    """BF16 fake-quant on fp32 bits (fpemu_impl.cpp:284-329)."""
+    u = np.asarray(x, np.float32).view(np.uint32).astype(np.int64)
+    if mode == RoundMode.STOCHASTIC:
+        assert random_bits is not None
+        u = u + (random_bits.astype(np.int64) & 0xFFFF)
+        u = u & 0xFFFF0000
+    else:
+        grs = (u >> 13) & 0xF
+        u = u & 0xFFFF0000
+        up = ((grs & 0x7) > 0x4) | (grs == 0xC)
+        u = u + (up.astype(np.int64) << 16)
+    return (u & 0xFFFFFFFF).astype(np.uint32).view(np.float32)
+
+
+def cast_float16(
+    x: np.ndarray,
+    mode: RoundMode = RoundMode.RNE,
+    daz: bool = False,
+    random_bits: np.ndarray | None = None,
+) -> np.ndarray:
+    """FP16 fake-quant (fpemu_impl.cpp:356-423).
+
+    RNE: IEEE fp32→fp16→fp32 round trip, with optional DAZ flushing fp16
+    denormals.  Stochastic: add 13 random bits below the fp16 mantissa in
+    the fp32 domain (the reference leaves fp16-denormal results RNE-rounded;
+    replicated).
+    """
+    xf = np.asarray(x, np.float32)
+    if mode == RoundMode.RNE:
+        with np.errstate(over="ignore"):  # overflow to fp16 inf is intended
+            h = xf.astype(np.float16)
+        if daz:
+            bits = h.view(np.uint16)
+            is_denorm = (bits & 0x7C00) == 0
+            bits = np.where(is_denorm, 0, bits)
+            h = bits.view(np.float16)
+        return h.astype(np.float32)
+
+    assert mode == RoundMode.STOCHASTIC and random_bits is not None
+    u = xf.view(np.uint32).astype(np.int64)
+    exp = ((u >> 23) & 0xFF) - 127
+    mant = u & 0x7FFFFF
+    sign = u & 0x80000000
+
+    # inf/NaN passthrough (signalling NaN quietened).
+    nan_mant = np.where((mant != 0) & ((mant & 0x400000) == 0),
+                        mant | 0x400000, mant)
+    h_naninf = ((0x1F << 23) | nan_mant | (sign >> 3)) >> 13
+    # Saturate |x| >= 2^16 to inf.
+    h_inf = ((0x1F << 23) | (sign >> 3)) >> 13
+    # Normal range: add 13 random bits below the kept mantissa.
+    rb = random_bits.astype(np.int64) & 0x1FFF
+    h_norm = ((((exp + 15) << 23) | mant | (sign >> 3)) + rb) >> 13
+    # fp16-denormal range: reference intends SR but overwrites with RNE.
+    with np.errstate(over="ignore"):
+        h_denorm = xf.astype(np.float16).view(np.uint16).astype(np.int64)
+
+    h = np.where(
+        exp == 128, h_naninf,
+        np.where(exp >= 16, h_inf, np.where(exp < -14, h_denorm, h_norm)),
+    )
+    return (h & 0xFFFF).astype(np.uint16).view(np.float16).astype(np.float32)
+
+
+def cast_fp4(x: np.ndarray, scale: float = 1.0) -> np.ndarray:
+    """FP4 nearest power-of-two cast (fpemu_impl.cpp:1797-1824): grid is
+    ± even powers of two in [2^-12, 1], with a ×1.6 probe deciding whether
+    an odd-exponent value rounds up to the next even power."""
+    f = np.asarray(x, np.float32) * np.float32(scale)
+    u = f.view(np.uint32).astype(np.int64)
+    exp = ((u >> 23) & 0xFF) - 127
+    sign = u & 0x80000000
+
+    odd_neg = (exp < 0) & (exp % 2 != 0)
+    f2 = np.where(odd_neg, f * np.float32(1.6), f)
+    u2 = f2.astype(np.float32).view(np.uint32).astype(np.int64)
+    # Saturate positives of exponent > 0 to ±1.0.
+    u2 = np.where(exp > 0, sign | (127 << 23), u2)
+    u2 = u2 & 0xFF800000
+    exp2 = ((u2 >> 23) & 0xFF) - 127
+    # Round-up failed: drop to the next even power below.
+    odd2 = (exp2 < 0) & (exp2 % 2 != 0)
+    u2 = np.where(odd2, sign | ((exp2 + 126) << 23), u2)
+    # Flush uses the pre-adjustment exponent (fpemu_impl.cpp:1818-1821).
+    u2 = np.where(exp2 < -12, 0, u2)
+    out = (u2 & 0xFFFFFFFF).astype(np.uint32).view(np.float32)
+    return out * (np.float32(1.0) / np.float32(scale))
+
+
+def block_scales(x: np.ndarray, block_size: int, fmt: FPFormat) -> np.ndarray:
+    """Per-block scales for block-normalized casting: flatten, split into
+    ``block_size`` blocks, scale = 2·2^⌊log2(absmax)⌋ / headroom
+    (fpemu_impl.cpp:794-799 E5M2, 1166-1171 E4M3; FP4 uses 1/absmax)."""
+    flat = np.asarray(x, np.float32).reshape(-1)
+    n = flat.shape[0]
+    nblocks = (n + block_size - 1) // block_size
+    scales = np.ones((nblocks,), np.float32)
+    for b in range(nblocks):
+        blk = flat[b * block_size:(b + 1) * block_size]
+        amax = np.max(np.abs(blk))
+        if fmt.name == "fp4":
+            scales[b] = 1.0 / amax if amax > 0 else 1.0
+        elif amax == 0.0:
+            # Deviation: the reference computes scale 0 for an all-zero
+            # block and dequantizes with 1/0 = inf (NaN output); we use 1.
+            scales[b] = 1.0
+        else:
+            bits = np.asarray(amax, np.float32).view(np.uint32)
+            p2 = np.asarray(bits & np.uint32(0x7F800000), np.uint32)
+            scales[b] = 2.0 * p2.view(np.float32) / fmt.block_headroom
+    return scales
+
+
+def cast_blocked(
+    x: np.ndarray,
+    fmt: FPFormat,
+    mode: RoundMode,
+    block_size: int,
+    daz: bool = False,
+    random_bits: np.ndarray | None = None,
+) -> np.ndarray:
+    """Block-normalized cast: per-block absmax scale, then the per-format
+    cast with that scale (E5M2_Kernel block path, fpemu_impl.cpp:783-817)."""
+    flat = np.asarray(x, np.float32).reshape(-1)
+    scales = block_scales(flat, block_size, fmt)
+    out = np.empty_like(flat)
+    for b in range(scales.shape[0]):
+        sl = slice(b * block_size, (b + 1) * block_size)
+        rb = None if random_bits is None else random_bits.reshape(-1)[sl]
+        out[sl] = cast(flat[sl], fmt, mode, scale=float(scales[b]), daz=daz,
+                       random_bits=rb)
+    return out.reshape(np.asarray(x).shape)
+
+
+def cast(
+    x: np.ndarray,
+    fmt: FPFormat,
+    mode: RoundMode = RoundMode.RNE,
+    scale: float = 1.0,
+    daz: bool = False,
+    random_bits: np.ndarray | None = None,
+) -> np.ndarray:
+    """Dispatch to the per-format golden cast."""
+    if fmt.name == "e5m2":
+        return cast_e5m2(x, mode, scale, daz, random_bits)
+    if fmt.name == "e4m3":
+        return cast_e4m3(x, mode, scale, random_bits)
+    if fmt.name == "e4m3_ieee":
+        return cast_e4m3_ieee(x, mode, scale, random_bits)
+    if fmt.name == "e3m4":
+        return cast_e3m4(x, mode, scale, random_bits)
+    if fmt.name == "fp4":
+        return cast_fp4(x, scale)
+    if fmt.name == "bfloat16":
+        return cast_bfloat16(x, mode, random_bits)
+    if fmt.name == "float16":
+        return cast_float16(x, mode, daz, random_bits)
+    raise ValueError(f"unknown format {fmt.name}")
+
+
+def cast_mode_string(
+    x: np.ndarray,
+    mode: str,
+    scale: float = 1.0,
+    random_bits: np.ndarray | None = None,
+    block_norm: bool = False,
+    block_size: int = 1,
+) -> np.ndarray:
+    """Reference-ABI entry point taking mode strings like ``E4M3_RNE``
+    (fpemu_forward, fpemu_impl.cpp:2013-2028)."""
+    fmt, rmode, daz = parse_mode_string(mode)
+    if block_norm:
+        return cast_blocked(x, fmt, rmode, block_size, daz, random_bits)
+    return cast(x, fmt, rmode, scale, daz, random_bits)
