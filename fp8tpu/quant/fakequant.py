@@ -1,0 +1,117 @@
+"""Single-entry fake-quantization with straight-through autodiff.
+
+TPU-native replacement for the reference's quantize_tensor + FPEmuOp stack
+(qutils.py:264-345; pytquant/cpp/fpemu.py:43-71): one jit-compatible
+function that computes scales (per the config's granularity) and casts in
+the same fused computation — no per-channel kernel-launch loops, no
+device dispatch, no in-place mutation.
+
+Autodiff follows the reference contract: the cast is a straight-through
+estimator (FPEmuOp.backward passes gradients unchanged); gradient-stream
+quantization is applied explicitly by the training wrappers per the
+igrad/ograd/wtgrad role configs (qutils.py:159-189, 551-584).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from fp8tpu.numerics import cast as _cast
+from fp8tpu.numerics import integer as _integer
+from fp8tpu.numerics import scaling as _scaling
+from fp8tpu.numerics.formats import FORMATS
+from .config import TensorQuantConfig
+
+
+def _quantize_impl(x: jax.Array, cfg: TensorQuantConfig,
+                   key: Optional[jax.Array]) -> jax.Array:
+    if cfg.is_int:
+        return _integer.qdq_int(x, bits=cfg.bits)
+
+    fmt = FORMATS[cfg.dtype]
+    mode = cfg.round_mode
+    kw = dict(daz=cfg.daz)
+    if cfg.is_stochastic:
+        if key is None:
+            raise ValueError(
+                f"{cfg.mode_string()} needs a PRNG key for stochastic "
+                "rounding"
+            )
+        kw["key"] = key
+
+    if cfg.scaling == "none":
+        return _cast.qdq(x, fmt, mode, 1.0, **kw)
+    if cfg.scaling == "per-tensor":
+        scale = _scaling.per_tensor(x, fmt, cfg.method)
+        return _cast.qdq(x, fmt, mode, scale, **kw)
+    if cfg.scaling == "per-channel":
+        scale = _scaling.per_channel(x, fmt, cfg.method, cfg.channel_axis)
+        return _cast.qdq(x, fmt, mode, scale, **kw)
+    if cfg.scaling == "fine-grained":
+        scale = _scaling.fine_grained(x, fmt, cfg.group_size, cfg.method)
+        return _cast.qdq(x, fmt, mode, scale, **kw)
+    if cfg.scaling == "per-block":
+        return _cast.qdq_blocked(x, fmt, mode, cfg.block_size, **kw)
+    raise ValueError(f"unknown scaling {cfg.scaling!r}")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def fake_quant(x: jax.Array, cfg: TensorQuantConfig,
+               key: Optional[jax.Array] = None) -> jax.Array:
+    """Fake-quantize ``x`` per ``cfg``; gradient is straight-through."""
+    return _quantize_impl(x, cfg, key)
+
+
+def _fq_fwd(x, cfg, key):
+    return _quantize_impl(x, cfg, key), None
+
+
+def _fq_bwd(cfg, _res, g):
+    return (g, None)
+
+
+fake_quant.defvjp(_fq_fwd, _fq_bwd)
+
+
+def fake_quant_with_scale(x: jax.Array, cfg: TensorQuantConfig, scale,
+                          key: Optional[jax.Array] = None) -> jax.Array:
+    """Fake-quantize with an externally calibrated scale (inference path:
+    scales come from the stats sweep, not from the live tensor).
+    Straight-through gradient."""
+    return _fixed_scale_ste(x, cfg, scale, key)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _fixed_scale_ste(x, cfg, scale, key):
+    if cfg.is_int:
+        # scale here is (scale, zero_point) from calibration.
+        s, zp = scale
+        return _integer.qdq_int_with_qparams(x, s, zp, bits=cfg.bits)
+    kw = dict(daz=cfg.daz)
+    if cfg.is_stochastic:
+        kw["key"] = key
+    return _cast.qdq(x, FORMATS[cfg.dtype], cfg.round_mode, scale, **kw)
+
+
+def _fs_fwd(x, cfg, scale, key):
+    return _fixed_scale_ste(x, cfg, scale, key), None
+
+
+def _fs_bwd(cfg, _res, g):
+    return (g, None, None)
+
+
+_fixed_scale_ste.defvjp(_fs_fwd, _fs_bwd)
+
+
+def quantize_grad(g: jax.Array, cfg: Optional[TensorQuantConfig],
+                  key: Optional[jax.Array] = None) -> jax.Array:
+    """Quantize a gradient stream (igrad/ograd/wtgrad hook bodies,
+    qutils.py:551-584, 159-189).  No-op when cfg is None."""
+    if cfg is None:
+        return g
+    return _quantize_impl(g, cfg, key)
