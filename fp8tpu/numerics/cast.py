@@ -38,14 +38,65 @@ def sr_bits(key: jax.Array, shape) -> jax.Array:
     return jax.random.bits(key, shape, dtype=jnp.uint16)
 
 
+def f32_to_f16_bits(f: jax.Array) -> jax.Array:
+    """IEEE fp32 → fp16 bit pattern with RNE, in pure integer ops.
+
+    Mosaic (Pallas TPU) cannot legalize f32↔f16 converts on v5e, so the
+    kernels use this manual pipeline; it is bit-exact vs the hardware
+    convert (tested) and therefore also used under plain jit so there is
+    exactly one semantics.  Returns int32 holding the 16-bit pattern.
+    """
+    u = jax.lax.bitcast_convert_type(f.astype(jnp.float32), jnp.uint32)
+    sign = ((u >> 16) & jnp.uint32(0x8000)).astype(jnp.int32)
+    absu = (u & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    exp = absu >> 23
+    mant = absu & 0x7FFFFF
+    e = exp - 127
+
+    # Normal fp16 range: RNE-round 23→10 mantissa bits; the carry may roll
+    # into the exponent and (for e == 15) correctly produce inf.
+    lsb = (mant >> 13) & 1
+    h_norm = ((e + 15) << 10) + ((mant + 0xFFF + lsb) >> 13)
+
+    # Subnormal fp16 range (e in [-24, -15]): h_mant = RNE(m24 >> (-e-1)).
+    m24 = mant | 0x800000
+    rs = jnp.clip(-e - 1, 1, 30)
+    lsb_s = (m24 >> rs) & 1
+    h_sub = (m24 + (jnp.left_shift(1, rs - 1) - 1) + lsb_s) >> rs
+
+    h_naninf = 0x7C00 | jnp.where(mant != 0, (mant >> 13) | 0x200, 0)
+
+    h = jnp.where(e >= -14, h_norm, h_sub)
+    h = jnp.where(e > 15, 0x7C00, h)
+    h = jnp.where(exp == 0, 0, h)    # f32 denormals underflow to 0
+    h = jnp.where(exp == 255, h_naninf, h)
+    return h | sign
+
+
+def f16_bits_to_f32(h: jax.Array) -> jax.Array:
+    """fp16 bit pattern (int32) → fp32 value, in pure integer ops."""
+    h = h & 0xFFFF
+    sign = (h >> 15) & 1
+    exp = (h >> 10) & 0x1F
+    mant = h & 0x3FF
+
+    bits_norm = (sign << 31) | ((exp + 112) << 23) | (mant << 13)
+    bits_naninf = (sign << 31) | 0x7F800000 | (mant << 13)
+    bits = jnp.where(exp == 31, bits_naninf, bits_norm)
+    f = jax.lax.bitcast_convert_type(bits.astype(jnp.uint32), jnp.float32)
+
+    # Subnormals: mant × 2^-24 is exact in f32 (mant ≤ 1023).
+    f_sub = mant.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+    f_sub = jnp.where(sign == 1, -f_sub, f_sub)
+    return jnp.where(exp == 0, f_sub, f)
+
+
 def _to_f16_bits(x: jax.Array, scale) -> jax.Array:
-    h = (x.astype(jnp.float32) * scale).astype(jnp.float16)
-    return jax.lax.bitcast_convert_type(h, jnp.uint16).astype(jnp.int32)
+    return f32_to_f16_bits(x.astype(jnp.float32) * scale)
 
 
 def _from_f16_bits(u: jax.Array, inv_scale) -> jax.Array:
-    h = jax.lax.bitcast_convert_type(u.astype(jnp.uint16), jnp.float16)
-    return h.astype(jnp.float32) * inv_scale
+    return f16_bits_to_f32(u) * inv_scale
 
 
 def _nearest_increment(mode, rnmask, rntie, positive, fmt: FPFormat):
@@ -175,15 +226,11 @@ def _cast_bfloat16(x, mode, random_bits):
 def _cast_float16(x, mode, daz, random_bits):
     xf = x.astype(jnp.float32)
     if mode == RoundMode.RNE:
-        h = xf.astype(jnp.float16)
-        # Round-trip through a bitcast: XLA's simplifier otherwise elides
-        # the f32→f16→f32 convert pair, skipping the precision loss.
-        bits = jax.lax.bitcast_convert_type(h, jnp.uint16)
+        bits = f32_to_f16_bits(xf)
         if daz:
             is_denorm = (bits & 0x7C00) == 0
-            bits = jnp.where(is_denorm, jnp.uint16(0), bits)
-        h = jax.lax.bitcast_convert_type(bits, jnp.float16)
-        return h.astype(jnp.float32)
+            bits = jnp.where(is_denorm, 0, bits)
+        return f16_bits_to_f32(bits)
 
     u = jax.lax.bitcast_convert_type(xf, jnp.uint32)
     exp = ((u >> 23) & jnp.uint32(0xFF)).astype(jnp.int32) - 127
@@ -199,18 +246,14 @@ def _cast_float16(x, mode, daz, random_bits):
     rb = random_bits.astype(jnp.uint32) & jnp.uint32(0x1FFF)
     exp_bits = ((exp + 15).astype(jnp.uint32) & jnp.uint32(0x1FF)) << 23
     h_norm = ((exp_bits | mant | (sign >> 3)) + rb) >> 13
-    h_denorm = jax.lax.bitcast_convert_type(
-        xf.astype(jnp.float16), jnp.uint16
-    ).astype(jnp.uint32)
+    h_denorm = f32_to_f16_bits(xf).astype(jnp.uint32)
 
     h = jnp.where(
         exp == 128, h_naninf,
         jnp.where(exp >= 16, h_inf,
                   jnp.where(exp < -14, h_denorm, h_norm)),
     )
-    return jax.lax.bitcast_convert_type(
-        h.astype(jnp.uint16), jnp.float16
-    ).astype(jnp.float32)
+    return f16_bits_to_f32((h & jnp.uint32(0xFFFF)).astype(jnp.int32))
 
 
 def _cast_fp4(x, scale):
@@ -236,9 +279,10 @@ def _cast_fp4(x, scale):
     return out * inv
 
 
-@partial(jax.jit, static_argnames=("fmt_name", "mode", "daz"))
-def _qdq_jit(x, scale, random_bits, fmt_name: str, mode: RoundMode,
-             daz: bool):
+def cast_array(x, scale, random_bits, fmt_name: str, mode: RoundMode,
+               daz: bool = False):
+    """Unjitted cast core: traceable inside jit AND inside Pallas kernel
+    bodies (the TPU kernels reuse this exact bit pipeline in-register)."""
     fmt = FORMATS[fmt_name]
     if fmt_name == "e5m2":
         return _cast_e5m2(x, mode, scale, daz, random_bits)
@@ -251,6 +295,11 @@ def _qdq_jit(x, scale, random_bits, fmt_name: str, mode: RoundMode,
     if fmt_name == "fp4":
         return _cast_fp4(x, scale)
     raise ValueError(f"unknown format {fmt_name}")
+
+
+_qdq_jit = partial(jax.jit, static_argnames=("fmt_name", "mode", "daz"))(
+    cast_array
+)
 
 
 def qdq(

@@ -1,0 +1,244 @@
+"""Per-layer quantization policy.
+
+TPU-native equivalent of the reference's emulator policy machinery: the
+whitelist/blacklist + per-module qconfig dict + special-case passes of
+``create_or_update_hooks`` (e5m2_emu.py:235-303, e4m3_emu.py:77-136) become
+one immutable :class:`QuantPolicy` that *resolves* a module path + layer
+kind to a ModuleQuantConfig.  Resolution is pure and hashable, so a policy
+can parameterize jitted train/eval steps.
+
+The resolution order mirrors the reference exactly:
+
+  1. exempt layers (glob patterns) drop out entirely;
+  2. layers whose outputs feed precision-sensitive fused ops lose
+     oact/ograd quantization;
+  3. kind-specific passes: embeddings quantize weights only (with the
+     dedicated ``emb`` config), LayerNorm keeps activations but never
+     weights, batched matmuls quantize inputs only, weightless eltwise
+     ops lose weight configs;
+  4. explicit per-name overrides win last.
+
+Emulator presets (the reference's per-format emulator classes
+e5m2_emu/e4m3_emu/e3m4_emu/hybrid_emu/bfloat16_emu) are factory functions
+returning policies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import fnmatch
+from typing import Mapping, Optional, Tuple
+
+from .config import ModuleQuantConfig, TensorQuantConfig
+
+
+class LayerKind(enum.Enum):
+    """What a module is, for kind-specific policy passes (the TPU analog of
+    the reference's isinstance checks against its whitelist)."""
+
+    DENSE = "dense"            # nn.Linear / flax Dense
+    CONV = "conv"              # nn.Conv2d / flax Conv
+    EMBED = "embed"            # nn.Embedding / flax Embed
+    LAYERNORM = "layernorm"
+    MATMUL = "matmul"          # functional a@b wrapper (module_wrappers.Matmul)
+    BATCH_MATMUL = "batch_matmul"
+    ELTWISE = "eltwise"        # add/mul/div wrappers
+    NORM_OP = "norm_op"        # Norm/Mean aggregate wrappers
+    OTHER = "other"
+
+    @property
+    def has_weight(self) -> bool:
+        return self in (LayerKind.DENSE, LayerKind.CONV, LayerKind.EMBED,
+                        LayerKind.LAYERNORM)
+
+
+# Kinds quantized by default, per the reference whitelists
+# (e5m2_emu.py:27-32, e4m3_emu.py:26-30).
+DEFAULT_WHITELIST = (
+    LayerKind.DENSE, LayerKind.CONV, LayerKind.EMBED, LayerKind.MATMUL,
+    LayerKind.BATCH_MATMUL, LayerKind.ELTWISE,
+)
+TRAINING_WHITELIST = DEFAULT_WHITELIST + (LayerKind.LAYERNORM,)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantPolicy:
+    """Immutable per-layer policy."""
+
+    default: ModuleQuantConfig
+    emb: Optional[TensorQuantConfig] = None
+    whitelist: Tuple[LayerKind, ...] = DEFAULT_WHITELIST
+    exempt_layers: Tuple[str, ...] = ()       # glob patterns on module path
+    output_fused_layers: Tuple[str, ...] = ()  # ditto
+    overrides: Tuple[Tuple[str, Optional[ModuleQuantConfig]], ...] = ()
+    is_training: bool = False
+    name: str = "custom"
+
+    # -- construction helpers -------------------------------------------
+    def with_exempt(self, *patterns: str) -> "QuantPolicy":
+        return dataclasses.replace(
+            self, exempt_layers=self.exempt_layers + tuple(patterns))
+
+    def with_output_fused(self, *patterns: str) -> "QuantPolicy":
+        return dataclasses.replace(
+            self,
+            output_fused_layers=self.output_fused_layers + tuple(patterns))
+
+    def with_override(self, pattern: str,
+                      cfg: Optional[ModuleQuantConfig]) -> "QuantPolicy":
+        return dataclasses.replace(
+            self, overrides=self.overrides + ((pattern, cfg),))
+
+    # -- resolution ------------------------------------------------------
+    def resolve(self, path: str,
+                kind: LayerKind) -> Optional[ModuleQuantConfig]:
+        """Resolve the effective config for a module; None = unquantized."""
+        if kind not in self.whitelist:
+            cfg = None
+        else:
+            cfg = self.default
+            if any(fnmatch.fnmatch(path, p) for p in self.exempt_layers):
+                cfg = None
+
+        if cfg is not None:
+            if any(fnmatch.fnmatch(path, p)
+                   for p in self.output_fused_layers):
+                cfg = cfg.replace(oact=None, ograd=None)
+            if kind == LayerKind.EMBED:
+                cfg = cfg.replace(wt=self.emb, iact=None, oact=None,
+                                  igrad=None, ograd=None)
+            elif kind == LayerKind.LAYERNORM:
+                cfg = cfg.replace(wt=None, wtgrad=None)
+            elif kind == LayerKind.BATCH_MATMUL:
+                cfg = cfg.replace(wt=None, wtgrad=None, oact=None,
+                                  ograd=None)
+            elif not kind.has_weight:
+                cfg = cfg.replace(wt=None, wtgrad=None)
+
+        for pattern, override in self.overrides:
+            if fnmatch.fnmatch(path, pattern):
+                cfg = override
+        return cfg
+
+
+# ---------------------------------------------------------------------------
+# Emulator presets
+# ---------------------------------------------------------------------------
+
+def e5m2_training_policy() -> QuantPolicy:
+    """'Direct' FP8 training: everything E5M2, RNE forward / stochastic
+    backward (e5m2_emu.py:56-61; Mellempudi et al., arXiv:1905.12334)."""
+    rne = TensorQuantConfig("e5m2", "rne")
+    sto = TensorQuantConfig("e5m2", "stochastic")
+    return QuantPolicy(
+        default=ModuleQuantConfig(wt=rne, iact=rne, oact=rne,
+                                  igrad=sto, ograd=sto, wtgrad=sto),
+        emb=None,
+        whitelist=TRAINING_WHITELIST,
+        is_training=True,
+        name="e5m2",
+    )
+
+
+def hybrid_training_policy() -> QuantPolicy:
+    """Hybrid training: E4M3 per-tensor forward / E5M2 stochastic backward
+    (hybrid_emu.py:56-61; Micikevicius et al., arXiv:2209.05433)."""
+    fwd = TensorQuantConfig("e4m3", "rne", "per-tensor")
+    bwd = TensorQuantConfig("e5m2", "stochastic")
+    return QuantPolicy(
+        default=ModuleQuantConfig(wt=fwd, iact=fwd, oact=fwd,
+                                  igrad=bwd, ograd=bwd, wtgrad=bwd),
+        emb=None,
+        whitelist=TRAINING_WHITELIST,
+        is_training=True,
+        name="hybrid",
+    )
+
+
+def e4m3_inference_policy(calibrated: bool = True) -> QuantPolicy:
+    """E4M3 PTQ: per-channel weights, per-tensor activations, outputs
+    unquantized (e4m3_emu.py:46-49, 175-185)."""
+    scaling_w = "per-channel" if calibrated else "none"
+    scaling_a = "per-tensor" if calibrated else "none"
+    wt = TensorQuantConfig("e4m3", "rne", scaling_w)
+    act = TensorQuantConfig("e4m3", "rne", scaling_a)
+    return QuantPolicy(
+        default=ModuleQuantConfig(wt=wt, iact=act, oact=None),
+        emb=TensorQuantConfig("e4m3", "rne", scaling_w),
+        name="e4m3",
+    )
+
+
+def e3m4_inference_policy(calibrated: bool = True) -> QuantPolicy:
+    """E3M4 PTQ (e3m4_emu.py:45-48, 159-169)."""
+    scaling_w = "per-channel" if calibrated else "per-tensor"
+    wt = TensorQuantConfig("e3m4", "rne", scaling_w)
+    act = TensorQuantConfig("e3m4", "rne", "per-tensor")
+    return QuantPolicy(
+        default=ModuleQuantConfig(wt=wt, iact=act, oact=None),
+        emb=TensorQuantConfig("e3m4", "rne", scaling_w),
+        name="e3m4",
+    )
+
+
+def hybrid_inference_policy() -> QuantPolicy:
+    """Hybrid PTQ: E3M4 per-channel weights + E4M3 per-tensor activations
+    (hybrid_emu.py:400-413)."""
+    wt = TensorQuantConfig("e3m4", "rne", "per-channel")
+    act = TensorQuantConfig("e4m3", "rne", "per-tensor")
+    return QuantPolicy(
+        default=ModuleQuantConfig(wt=wt, iact=act, oact=None),
+        emb=TensorQuantConfig("e3m4", "rne", "per-channel"),
+        name="hybrid",
+    )
+
+
+def bfloat16_policy() -> QuantPolicy:
+    """BF16-everywhere (the reference's Bfloat16Emulator is dead code with
+    missing native modules, bfloat16_emu.py:127,142 — implemented working
+    here)."""
+    rne = TensorQuantConfig("bfloat16", "rne")
+    sto = TensorQuantConfig("bfloat16", "stochastic")
+    return QuantPolicy(
+        default=ModuleQuantConfig(wt=rne, iact=rne, oact=rne,
+                                  igrad=sto, ograd=sto, wtgrad=sto),
+        emb=rne,
+        whitelist=TRAINING_WHITELIST,
+        is_training=True,
+        name="bfloat16",
+    )
+
+
+PRESETS = {
+    "e5m2": e5m2_training_policy,
+    "e4m3": e4m3_inference_policy,
+    "e3m4": e3m4_inference_policy,
+    "hybrid": hybrid_training_policy,
+    "hybrid_inference": hybrid_inference_policy,
+    "bfloat16": bfloat16_policy,
+}
+
+
+def get_policy(dtype: str, training: bool = False) -> QuantPolicy:
+    """Policy factory keyed like mpt_emu's dtype/training_algo strings
+    (mpt_emu.py:146-231)."""
+    d = dtype.lower()
+    if training:
+        if d in ("e5m2", "direct"):
+            return e5m2_training_policy()
+        if d == "hybrid":
+            return hybrid_training_policy()
+        if d in ("bfloat16", "bf16"):
+            return bfloat16_policy()
+        raise ValueError(f"unsupported training algo {dtype!r}")
+    if d == "e4m3":
+        return e4m3_inference_policy()
+    if d == "e3m4":
+        return e3m4_inference_policy()
+    if d == "hybrid":
+        return hybrid_inference_policy()
+    if d == "e5m2":
+        p = e5m2_training_policy()
+        return dataclasses.replace(p, is_training=False, name="e5m2")
+    raise ValueError(f"unsupported inference dtype {dtype!r}")
