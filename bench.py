@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Headline benchmark: FP8 vs BF16 decode throughput on one TPU chip.
+
+Runs the serving decoder (fp8 weights + fp8 KV cache, fused all-layer
+decode step) against an identically structured bf16 twin on a ~1B-class
+model, and prints ONE JSON line:
+
+  {"metric": "fp8_decode_tokens_per_s_per_chip", "value": ...,
+   "unit": "tokens/s", "vs_baseline": <fp8 tokens/s ÷ bf16 tokens/s>}
+
+``vs_baseline`` is the speedup over the bf16 baseline on the same chip —
+the north-star target is ≥ 1.6 (BASELINE.md; the reference toolkit itself
+publishes no performance numbers, SURVEY.md §6).
+
+Timing: decode steps are chained (each step consumes the previous cache)
+and dispatched asynchronously; one host readback at the end closes the
+window.  This measures steady-state decode, not dispatch latency.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fp8tpu.models import Decoder, DecoderConfig
+from fp8tpu.serve import KVCache, ServeConfig, convert_decoder_params
+from fp8tpu.serve.model import decode_steps
+
+# ~0.9B params: 16 layers × d2048/ff5504 + 16k vocab.
+CFG = DecoderConfig(vocab_size=16384, d_model=2048, n_layers=16,
+                    n_heads=16, n_kv_heads=16, d_ff=5504,
+                    max_seq_len=1024)
+BATCH = 32
+CACHE_LEN = 512
+STEPS = 24
+WARM_POS = 256      # decode from a warm cache position
+
+
+def make_params(fmt: str):
+    """Random-initialized serving params (weights stream from HBM the same
+    regardless of values)."""
+    m = Decoder(CFG)
+    tokens = jnp.ones((1, 8), jnp.int32)
+    variables = jax.jit(m.init)(jax.random.key(0), tokens)
+    p = convert_decoder_params(variables, CFG, fmt=fmt)
+    del variables
+    return p
+
+
+def bench_variant(fmt: str, kv_fmt: str) -> float:
+    scfg = ServeConfig(model=CFG, weight_fmt=fmt, kv_fmt=kv_fmt)
+    params = make_params(fmt)
+    cache = KVCache.create(CFG.n_layers, BATCH, CACHE_LEN, CFG.n_kv_heads,
+                           CFG.head_dim, kv_fmt)
+    tokens = jnp.ones((BATCH,), jnp.int32)
+    pos0 = jnp.full((BATCH,), WARM_POS, jnp.int32)
+    temp = jnp.zeros((BATCH,), jnp.float32)  # greedy
+    key = jax.random.key(0)
+
+    def run_chunk(cache):
+        # The serving engine's chunked decode: STEPS steps + on-device
+        # sampling in one compiled program.
+        return decode_steps(params, cache, tokens, pos0, key, temp,
+                            STEPS, scfg)
+
+    # Warmup (compile + first execution); the cache is donated, so keep
+    # chaining the returned one.
+    toks, cache = run_chunk(cache)
+    np.asarray(toks).sum()
+
+    # Relay/dispatch timing is noisy: take the best of three windows.
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        toks, cache = run_chunk(cache)
+        np.asarray(toks).sum()        # one sync closes the window
+        best = min(best, time.perf_counter() - t0)
+
+    tok_s = BATCH * STEPS / best
+    del params, cache
+    return tok_s
+
+
+def main():
+    fp8 = bench_variant("e4m3", "e4m3")
+    bf16 = bench_variant("bf16", "bf16")
+    print(json.dumps({
+        "metric": "fp8_decode_tokens_per_s_per_chip",
+        "value": round(fp8, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(fp8 / bf16, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""ResNet post-training quantization — the reference's ImageNet PTQ recipe
+(examples/inference/classifier/imagenet_test.py) as a TPU-native flow:
+
+  baseline eval → quantize_model → calibration sweep → BN→ScaleShift
+  fusion → quantized eval, with the reference's exempt-layer policy
+  (first conv + classifier head) and dtype sweep (launch.py:14-80).
+
+Runs on synthetic data by default (no dataset downloads in this image);
+point --data_npz at {x: (N,H,W,C), y: (N,)} arrays for real evaluation.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fp8tpu
+from fp8tpu.models.resnet import (
+    RESNET_EXEMPT,
+    ResNet,
+    ResNetConfig,
+    resnet18,
+    resnet50,
+)
+from fp8tpu.utils import MetricLogger, accuracy
+
+
+def get_model(name: str, num_classes: int, norm_mode: str = "bn"):
+    cfgs = {
+        "resnet18": ResNetConfig(stage_sizes=(2, 2, 2, 2)),
+        "resnet50": ResNetConfig(stage_sizes=(3, 4, 6, 3), bottleneck=True),
+        "tiny": ResNetConfig(stage_sizes=(1, 1), width=16,
+                             small_images=True),
+    }
+    cfg = cfgs[name]
+    import dataclasses
+    cfg = dataclasses.replace(cfg, num_classes=num_classes,
+                              norm_mode=norm_mode)
+    return ResNet(cfg)
+
+
+def load_data(args):
+    if args.data_npz:
+        d = np.load(args.data_npz)
+        return jnp.asarray(d["x"], jnp.float32), jnp.asarray(d["y"])
+    hw = 32 if args.model == "tiny" else 224
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (args.num_samples, hw, hw, 3))
+    y = jax.random.randint(jax.random.key(1), (args.num_samples,), 0,
+                           args.num_classes)
+    return x, y
+
+
+def evaluate(apply_fn, x, y, batch: int, log: MetricLogger):
+    n = x.shape[0] // batch * batch
+    top1s = []
+    for i in range(0, n, batch):
+        logits = apply_fn(x[i:i + batch])
+        top1, top5 = accuracy(logits, y[i:i + batch], topk=(1, 5))
+        top1s.append(float(top1))
+        log.update(top1=float(top1), top5=float(top5))
+    return float(np.mean(top1s))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="tiny",
+                   choices=["tiny", "resnet18", "resnet50"])
+    p.add_argument("--dtype", default="e4m3",
+                   choices=["e4m3", "e3m4", "hybrid", "e5m2"])
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--num-calibration-batches", type=int, default=4)
+    p.add_argument("--num-classes", type=int, default=10)
+    p.add_argument("--num-samples", type=int, default=256)
+    p.add_argument("--data_npz", default=None)
+    p.add_argument("--sweep", action="store_true",
+                   help="sweep all dtypes (launch.py behavior)")
+    args = p.parse_args()
+
+    model = get_model(args.model, args.num_classes)
+    x, y = load_data(args)
+    variables = model.init(jax.random.key(2), x[:2])
+    # Touch BN stats so folding is meaningful.
+    for i in range(3):
+        _, upd = model.apply(variables, x[i * 8:(i + 1) * 8], train=True,
+                             mutable=["batch_stats"])
+        variables = {**variables, "batch_stats": upd["batch_stats"]}
+
+    log = MetricLogger()
+    base_apply = jax.jit(lambda v, xb: model.apply(v, xb))
+    baseline = evaluate(lambda xb: base_apply(variables, xb), x, y,
+                        args.batch_size, log)
+    print(f"baseline fp32 top-1: {baseline:.2f}")
+
+    dtypes = (["e4m3", "e3m4", "hybrid"] if args.sweep else [args.dtype])
+    for dtype in dtypes:
+        t0 = time.time()
+        infer_model = get_model(args.model, args.num_classes,
+                                norm_mode="scale_shift")
+        calib = [x[i * args.batch_size:(i + 1) * args.batch_size]
+                 for i in range(args.num_calibration_batches)]
+        qm = fp8tpu.quantize_model(
+            model, variables, (x[:2],), dtype=dtype, fuse_bn=True,
+            inference_model=infer_model, calibration_batches=calib,
+            list_exempt_layers=RESNET_EXEMPT)
+        q_apply = jax.jit(lambda v, xb: qm.model.apply(v, xb))
+
+        # Activation casts via the policy interceptor:
+        jq = jax.jit(lambda v, xb: qm.apply(xb, variables=v))
+        top1 = evaluate(lambda xb: jq(qm.variables, xb), x, y,
+                        args.batch_size, log)
+        print(f"{dtype:8s} PTQ top-1: {top1:.2f} "
+              f"(Δ {top1 - baseline:+.2f}) in {time.time()-t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""FP8 LLM serving demo: quantize a decoder to fp8 payloads, start the
+continuous-batching engine, and generate (the north-star serving flow —
+the reference toolkit has no serving path, BASELINE.md)."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from fp8tpu.models import Decoder, DecoderConfig
+from fp8tpu.serve import (
+    Request,
+    ServeConfig,
+    ServingEngine,
+    convert_decoder_params,
+)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--d-model", type=int, default=512)
+    p.add_argument("--n-layers", type=int, default=8)
+    p.add_argument("--weight-fmt", default="e4m3",
+                   choices=["e4m3", "e5m2", "bf16"])
+    p.add_argument("--kv-fmt", default="e4m3",
+                   choices=["e4m3", "e5m2", "bf16"])
+    p.add_argument("--slots", type=int, default=4)
+    p.add_argument("--max-seq", type=int, default=512)
+    p.add_argument("--requests", type=int, default=8)
+    p.add_argument("--max-new-tokens", type=int, default=32)
+    p.add_argument("--temperature", type=float, default=0.0)
+    args = p.parse_args()
+
+    cfg = DecoderConfig(
+        vocab_size=4096, d_model=args.d_model, n_layers=args.n_layers,
+        n_heads=max(4, args.d_model // 64),
+        n_kv_heads=max(4, args.d_model // 64),
+        d_ff=args.d_model * 3, max_seq_len=args.max_seq)
+    model = Decoder(cfg)
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.ones((1, 8), jnp.int32))
+    params = convert_decoder_params(variables, cfg, fmt=args.weight_fmt)
+    del variables
+
+    scfg = ServeConfig(model=cfg, weight_fmt=args.weight_fmt,
+                       kv_fmt=args.kv_fmt)
+    engine = ServingEngine(params, scfg, n_slots=args.slots,
+                           max_seq=args.max_seq)
+    reqs = [Request(uid=i, prompt=list(range(1 + i, 12 + i)),
+                    max_new_tokens=args.max_new_tokens,
+                    temperature=args.temperature)
+            for i in range(args.requests)]
+    t0 = time.time()
+    out = engine.run(reqs)
+    dt = time.time() - t0
+    total = sum(len(v) for v in out.values())
+    print(f"{len(out)} requests, {total} tokens in {dt:.1f}s "
+          f"({total / dt:.0f} tok/s incl. prefills) "
+          f"[weights {args.weight_fmt}, kv {args.kv_fmt}]")
+    for uid in sorted(out):
+        print(f"  req {uid}: {out[uid][:12]}{'...' if len(out[uid])>12 else ''}")
+
+
+if __name__ == "__main__":
+    main()

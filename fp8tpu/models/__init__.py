@@ -11,6 +11,14 @@ from .resnet import (  # noqa: F401
     resnet50,
     tiny_resnet,
 )
+from .bert import (  # noqa: F401
+    BERT_OUTPUT_FUSED,
+    BERT_QA_EXEMPT,
+    BertConfig,
+    BertEncoder,
+    BertForQA,
+    tiny_bert,
+)
 from .transformer import (  # noqa: F401
     Decoder,
     DecoderConfig,

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .kv_cache import KVCache
-from .model import ServeConfig, decode_step, prefill
+from .model import ServeConfig, decode_step, decode_steps, prefill
 
 
 @dataclasses.dataclass
@@ -51,12 +51,16 @@ class ServingEngine:
     """Continuous batching over ``n_slots`` concurrent sequences."""
 
     def __init__(self, params: Dict, cfg: ServeConfig, n_slots: int = 8,
-                 max_seq: Optional[int] = None, seed: int = 0):
+                 max_seq: Optional[int] = None, seed: int = 0,
+                 chunk_size: int = 8):
         m = cfg.model
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
         self.max_seq = max_seq or m.max_seq_len
+        # Steps decoded per dispatch (on-device sampling); host re-enters
+        # between chunks for admission / EOS retirement.
+        self.chunk_size = chunk_size
         self.cache = KVCache.create(m.n_layers, n_slots, self.max_seq,
                                     m.n_kv_heads, m.head_dim, cfg.kv_fmt)
         self.slots: List[Optional[_SlotState]] = [None] * n_slots
@@ -82,27 +86,45 @@ class ServingEngine:
         return out
 
     # -- scheduler -------------------------------------------------------
+    def _chunk_len(self) -> int:
+        active = [s for s in self.slots if s is not None]
+        budget = min(min(s.remaining for s in active),
+                     self.max_seq - 1 - max(s.pos for s in active))
+        # Bucket to powers of two so only a few n_steps programs compile.
+        chunk = 1
+        while chunk * 2 <= min(budget, self.chunk_size):
+            chunk *= 2
+        return max(chunk, 1)
+
     def step(self):
         self._admit()
         if not any(self.slots):
             return
-        logits, self.cache = decode_step(
+        chunk = self._chunk_len()
+        temps = jnp.asarray([
+            self.slots[i].temperature if self.slots[i] else 0.0
+            for i in range(self.n_slots)], jnp.float32)
+        self.key, sub = jax.random.split(self.key)
+        toks, self.cache = decode_steps(
             self.params, self.cache, jnp.asarray(self._tokens),
-            jnp.asarray(self._positions), self.cfg)
-        next_tokens = self._sample(logits)
+            jnp.asarray(self._positions), sub, temps, chunk, self.cfg)
+        toks = np.asarray(toks)                     # (B, chunk)
         for i, st in enumerate(self.slots):
             if st is None:
                 continue
-            tok = int(next_tokens[i])
-            st.tokens.append(tok)
-            st.pos += 1
-            st.remaining -= 1
-            self._tokens[i] = tok
-            self._positions[i] = st.pos
-            if (st.remaining <= 0 or st.pos >= self.max_seq - 1
-                    or (st.eos_id is not None and tok == st.eos_id)):
-                self.finished[st.uid] = st.tokens
-                self.slots[i] = None
+            for j in range(chunk):
+                tok = int(toks[i, j])
+                st.tokens.append(tok)
+                st.pos += 1
+                st.remaining -= 1
+                if (st.remaining <= 0 or st.pos >= self.max_seq - 1
+                        or (st.eos_id is not None and tok == st.eos_id)):
+                    self.finished[st.uid] = st.tokens
+                    self.slots[i] = None
+                    break
+            if self.slots[i] is not None:
+                self._tokens[i] = int(toks[i, chunk - 1])
+                self._positions[i] = self.slots[i].pos
 
     def _admit(self):
         for i in range(self.n_slots):

@@ -29,12 +29,18 @@ from fp8tpu.numerics.formats import FORMATS
 _FP8_DTYPES = {
     "e4m3": jnp.float8_e4m3fn,
     "e5m2": jnp.float8_e5m2,
+    # bf16 "payload" mode: the unquantized baseline with identical cache
+    # code structure (used by bench.py to compare fp8 vs bf16 honestly).
+    "bf16": jnp.bfloat16,
 }
 
 
 def quantize_kv(x: jax.Array, fmt: str = "e4m3"):
     """Quantize (..., kv_heads, head_dim) vectors to fp8 with one scale per
     head vector.  Returns (payload fp8, scales f32 with trailing dim 1)."""
+    if fmt == "bf16":
+        scale = jnp.ones(x.shape[:-1] + (1,), jnp.float32)
+        return x.astype(jnp.bfloat16), scale
     fdesc = FORMATS[fmt]
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.where(amax > 0, amax / fdesc.max_normal, 1.0)
@@ -48,8 +54,13 @@ def quantize_kv(x: jax.Array, fmt: str = "e4m3"):
 class KVCache:
     """Contiguous-slot FP8 KV cache.
 
-    k8/v8: (L, B, S, KV, D) fp8 payloads
-    k_scale/v_scale: (L, B, S, KV) float32
+    Layout is attention-native — (L, B, KV, S, D) — so the decode dots
+    q(B,KV,G,D) · K(B,KV,S,D) and P(B,KV,G,S) · V(B,KV,S,D) contract with
+    no transposes (a transposed read would copy the whole cache every
+    layer every step).
+
+    k8/v8: (L, B, KV, S, D) fp8 payloads
+    k_scale/v_scale: (L, B, KV, S) float32
     """
 
     k8: jax.Array
@@ -61,7 +72,7 @@ class KVCache:
     def create(n_layers: int, n_slots: int, max_seq: int, kv_heads: int,
                head_dim: int, fmt: str = "e4m3") -> "KVCache":
         dt = _FP8_DTYPES[fmt]
-        shape = (n_layers, n_slots, max_seq, kv_heads, head_dim)
+        shape = (n_layers, n_slots, kv_heads, max_seq, head_dim)
         return KVCache(
             k8=jnp.zeros(shape, dt),
             v8=jnp.zeros(shape, dt),
@@ -71,11 +82,12 @@ class KVCache:
 
     @property
     def fmt(self) -> str:
-        return ("e4m3" if self.k8.dtype == jnp.float8_e4m3fn else "e5m2")
+        return {jnp.float8_e4m3fn: "e4m3", jnp.float8_e5m2: "e5m2",
+                jnp.bfloat16: "bf16"}[jnp.dtype(self.k8.dtype).type]
 
     @property
     def max_seq(self) -> int:
-        return self.k8.shape[2]
+        return self.k8.shape[3]
 
     def update(self, layer: int, k: jax.Array, v: jax.Array,
                start_pos: jax.Array) -> "KVCache":
@@ -83,34 +95,41 @@ class KVCache:
         slot (same position across slots — the decode-step case)."""
         k8, ks = quantize_kv(k, self.fmt)
         v8, vs = quantize_kv(v, self.fmt)
+        k8 = k8.transpose(0, 2, 1, 3)        # → (B, KV, S_new, D)
+        v8 = v8.transpose(0, 2, 1, 3)
+        ks = ks[..., 0].transpose(0, 2, 1)   # → (B, KV, S_new)
+        vs = vs[..., 0].transpose(0, 2, 1)
         z = jnp.zeros((), jnp.int32)
-        new_k8 = jax.lax.dynamic_update_slice(
-            self.k8, k8[None], (jnp.int32(layer), z, start_pos, z, z))
-        new_v8 = jax.lax.dynamic_update_slice(
-            self.v8, v8[None], (jnp.int32(layer), z, start_pos, z, z))
-        new_ks = jax.lax.dynamic_update_slice(
-            self.k_scale, ks[..., 0][None],
-            (jnp.int32(layer), z, start_pos, z))
-        new_vs = jax.lax.dynamic_update_slice(
-            self.v_scale, vs[..., 0][None],
-            (jnp.int32(layer), z, start_pos, z))
-        return KVCache(new_k8, new_v8, new_ks, new_vs)
+        li = jnp.int32(layer)
+        return KVCache(
+            jax.lax.dynamic_update_slice(self.k8, k8[None],
+                                         (li, z, z, start_pos, z)),
+            jax.lax.dynamic_update_slice(self.v8, v8[None],
+                                         (li, z, z, start_pos, z)),
+            jax.lax.dynamic_update_slice(self.k_scale, ks[None],
+                                         (li, z, z, start_pos)),
+            jax.lax.dynamic_update_slice(self.v_scale, vs[None],
+                                         (li, z, z, start_pos)),
+        )
 
     def update_slot(self, layer: int, slot: jax.Array, k: jax.Array,
                     v: jax.Array, start_pos: jax.Array) -> "KVCache":
         """Write (S_new, KV, D) for one slot (prefill of a new request)."""
         k8, ks = quantize_kv(k, self.fmt)
         v8, vs = quantize_kv(v, self.fmt)
+        k8 = k8.transpose(1, 0, 2)           # → (KV, S_new, D)
+        v8 = v8.transpose(1, 0, 2)
+        ks = ks[..., 0].transpose(1, 0)
+        vs = vs[..., 0].transpose(1, 0)
         z = jnp.zeros((), jnp.int32)
-        idx5 = (jnp.int32(layer), slot, start_pos, z, z)
-        idx4 = (jnp.int32(layer), slot, start_pos, z)
+        li = jnp.int32(layer)
+        idx5 = (li, slot, z, start_pos, z)
+        idx4 = (li, slot, z, start_pos)
         return KVCache(
             jax.lax.dynamic_update_slice(self.k8, k8[None, None], idx5),
             jax.lax.dynamic_update_slice(self.v8, v8[None, None], idx5),
-            jax.lax.dynamic_update_slice(self.k_scale, ks[..., 0][None, None],
-                                         idx4),
-            jax.lax.dynamic_update_slice(self.v_scale, vs[..., 0][None, None],
-                                         idx4),
+            jax.lax.dynamic_update_slice(self.k_scale, ks[None, None], idx4),
+            jax.lax.dynamic_update_slice(self.v_scale, vs[None, None], idx4),
         )
 
     def layer(self, i: int):
@@ -155,8 +174,8 @@ class PagedKVCache:
 
     @property
     def fmt(self) -> str:
-        return ("e4m3" if self.pool_k8.dtype == jnp.float8_e4m3fn
-                else "e5m2")
+        return {jnp.float8_e4m3fn: "e4m3", jnp.float8_e5m2: "e5m2",
+                jnp.bfloat16: "bf16"}[jnp.dtype(self.pool_k8.dtype).type]
 
     @property
     def page_size(self) -> int:

@@ -80,6 +80,9 @@ def convert_decoder_params(variables, cfg: DecoderConfig,
     p = variables["params"]
 
     def q(w):  # (K, N)
+        if fmt == "bf16":
+            return (w.astype(jnp.bfloat16),
+                    jnp.ones((w.shape[-1],), jnp.float32))
         payload, s = quantize_weights(w, fmt, axis=-1)
         return payload, s.reshape(-1)
 
@@ -111,50 +114,69 @@ def convert_decoder_params(variables, cfg: DecoderConfig,
     return out
 
 
-def _attend_decode(q, k8, ks, v8, vs, positions, cfg: DecoderConfig):
-    """Single-token attention against the fp8 cache.
+def _attend_decode(q, k_new, v_new, k8, ks, v8, vs, positions,
+                   cfg: DecoderConfig):
+    """Single-token attention: cached fp8 prefix + the fresh token.
 
-    q: (B, H, D) bf16; k8/v8: (B, S, KV, D) fp8; ks/vs: (B, S, KV) f32;
-    positions: (B,) current position of each slot.
+    The cache layout (B, KV, S, D) makes both dots transpose-free; the
+    fp8 payloads upcast in-register (fused into the dot operand) and the
+    per-vector scales apply to scores/probs, so no dequantized cache copy
+    ever hits HBM.  The current token's k/v are attended directly (the
+    cache write happens once per step outside the layer scan).
+
+    q: (B, H, D) bf16; k_new/v_new: (B, KV, D) bf16;
+    k8/v8: (B, KV, S, D) fp8; ks/vs: (B, KV, S) f32;
+    positions: (B,) — cached entries are valid at s < position.
     """
     B, H, D = q.shape
-    KV = k8.shape[2]
+    KV, S = k8.shape[1], k8.shape[2]
     G = H // KV
-    S = k8.shape[1]
-    qg = q.reshape(B, KV, G, D)
+    qg = (q.astype(jnp.float32)
+          / jnp.sqrt(D).astype(jnp.float32)).astype(q.dtype)
+    qg = qg.reshape(B, KV, G, D)
 
-    # scores[b,k,g,s] = (q · k8) * ks ; fp8 payload feeds the dot directly.
     scores = jnp.einsum(
-        "bkgd,bskd->bkgs", qg.astype(jnp.float32),
-        k8.astype(jnp.bfloat16).astype(jnp.float32),
+        "bkgd,bksd->bkgs", qg, k8.astype(q.dtype),
         preferred_element_type=jnp.float32,
     )
-    scores = scores * ks.transpose(0, 2, 1)[:, :, None, :]
-    scores = scores / jnp.sqrt(D).astype(jnp.float32)
-    mask = jnp.arange(S)[None, :] <= positions[:, None]     # (B, S)
+    scores = scores * ks[:, :, None, :]
+    mask = jnp.arange(S)[None, :] < positions[:, None]      # (B, S)
     scores = jnp.where(mask[:, None, None, :], scores,
                        jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(scores, axis=-1)
-    # Fold v scales into the probabilities, then contract with fp8 V.
-    probs_s = (probs * vs.transpose(0, 2, 1)[:, :, None, :]).astype(
-        jnp.float32)
+    score_self = jnp.einsum(
+        "bkgd,bkd->bkg", qg, k_new.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )[..., None]                                            # (B,KV,G,1)
+
+    full = jnp.concatenate([scores, score_self], axis=-1)
+    probs = jax.nn.softmax(full, axis=-1)
+    probs_c, probs_self = probs[..., :S], probs[..., S:]
+    probs_s = (probs_c * vs[:, :, None, :]).astype(q.dtype)
     ctx = jnp.einsum(
-        "bkgs,bskd->bkgd", probs_s,
-        v8.astype(jnp.bfloat16).astype(jnp.float32),
+        "bkgs,bksd->bkgd", probs_s, v8.astype(q.dtype),
         preferred_element_type=jnp.float32,
     )
-    return ctx.reshape(B, H * D).astype(jnp.bfloat16)
+    ctx = ctx + probs_self * v_new[:, :, None, :].astype(jnp.float32)
+    return ctx.reshape(B, H * D).astype(q.dtype)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def decode_step(params: Dict, cache: KVCache, tokens: jax.Array,
                 positions: jax.Array, cfg: ServeConfig
                 ) -> Tuple[jax.Array, KVCache]:
     """One decode step for all slots.
 
     tokens: (B,) int32; positions: (B,) int32 per-slot write positions.
-    Returns (logits (B, V) f32, updated cache).
+    Returns (logits (B, V) f32, updated cache).  The input cache is
+    DONATED — its buffers are updated in place; keep using the returned
+    cache only.
     """
+    return _decode_step_impl(params, cache, tokens, positions, cfg)
+
+
+def _decode_step_impl(params: Dict, cache: KVCache, tokens: jax.Array,
+                      positions: jax.Array, cfg: ServeConfig
+                      ) -> Tuple[jax.Array, KVCache]:
     mcfg = cfg.model
     H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
     B = tokens.shape[0]
@@ -172,7 +194,7 @@ def decode_step(params: Dict, cache: KVCache, tokens: jax.Array,
                                axis=-1).astype(x.dtype)
 
     def layer_step(carry, xs):
-        h, cache_k8, cache_v8, cache_ks, cache_vs, li = carry
+        h, li = carry
         (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
          gate8, gates, up8, ups, down8, downs) = xs
 
@@ -182,23 +204,22 @@ def decode_step(params: Dict, cache: KVCache, tokens: jax.Array,
         v = fp8_linear(x, v8w, vsw, impl).reshape(B, KV, D)
         q, k = rope1(q), rope1(k)
 
-        kq8, kqs = quantize_kv(k, cfg.kv_fmt)
-        vq8, vqs = quantize_kv(v, cfg.kv_fmt)
-        bidx = jnp.arange(B)
-        cache_k8 = cache_k8.at[li, bidx, positions].set(kq8)
-        cache_v8 = cache_v8.at[li, bidx, positions].set(vq8)
-        cache_ks = cache_ks.at[li, bidx, positions].set(kqs[..., 0])
-        cache_vs = cache_vs.at[li, bidx, positions].set(vqs[..., 0])
-
-        ctx = _attend_decode(q, cache_k8[li], cache_ks[li], cache_v8[li],
-                             cache_vs[li], positions, mcfg)
+        # Attend against the pre-step cache + the fresh token; the cache
+        # write for all layers happens in ONE scatter after the scan
+        # (in-scan scatters cost ~20% of the step, measured).
+        ctx = _attend_decode(q, k, v, cache.k8[li], cache.k_scale[li],
+                             cache.v8[li], cache.v_scale[li], positions,
+                             mcfg)
         h = h + fp8_linear(ctx, o8, osw, impl)
 
         x = _rms(h, mlp_norm, mcfg.norm_eps)
         act = jax.nn.silu(fp8_linear(x, gate8, gates, impl).astype(
             jnp.float32)).astype(x.dtype) * fp8_linear(x, up8, ups, impl)
         h = h + fp8_linear(act, down8, downs, impl)
-        return (h, cache_k8, cache_v8, cache_ks, cache_vs, li + 1), ()
+
+        kq8, kqs = quantize_kv(k, cfg.kv_fmt)
+        vq8, vqs = quantize_kv(v, cfg.kv_fmt)
+        return (h, li + 1), (kq8, kqs[..., 0], vq8, vqs[..., 0])
 
     xs = (params["attn_norm"], params["mlp_norm"],
           params["q8"], params["qs"], params["k8"], params["ks"],
@@ -206,18 +227,59 @@ def decode_step(params: Dict, cache: KVCache, tokens: jax.Array,
           params["gate8"], params["gates"], params["up8"], params["ups"],
           params["down8"], params["downs"])
     h = h.astype(jnp.bfloat16)
-    (h, ck8, cv8, cks, cvs, _), _ = jax.lax.scan(
-        layer_step,
-        (h, cache.k8, cache.v8, cache.k_scale, cache.v_scale,
-         jnp.int32(0)),
-        xs)
+    (h, _), (kq8, kqs, vq8, vqs) = jax.lax.scan(
+        layer_step, (h, jnp.int32(0)), xs)
+
+    # One scatter writes every layer's new token.  With separated advanced
+    # indices the broadcast (B,) dim lands first: value shape (B,L,KV,·).
+    bidx = jnp.arange(B)
+    ck8 = cache.k8.at[:, bidx, :, positions].set(kq8.transpose(1, 0, 2, 3))
+    cv8 = cache.v8.at[:, bidx, :, positions].set(vq8.transpose(1, 0, 2, 3))
+    cks = cache.k_scale.at[:, bidx, :, positions].set(
+        kqs.transpose(1, 0, 2))
+    cvs = cache.v_scale.at[:, bidx, :, positions].set(
+        vqs.transpose(1, 0, 2))
+
     h = _rms(h, params["final_norm"], mcfg.norm_eps)
-    logits = jnp.dot(h.astype(jnp.float32),
-                     params["embed"].T.astype(jnp.float32))
+    # Tied LM head: contract on the embedding's feature axis directly —
+    # no transposed/upcast copy of the (V, Dm) table.
+    logits = jax.lax.dot_general(
+        h, params["embed"], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     return logits, KVCache(ck8, cv8, cks, cvs)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "n_steps"),
+         donate_argnames=("cache",))
+def decode_steps(params: Dict, cache: KVCache, tokens: jax.Array,
+                 positions: jax.Array, key: jax.Array,
+                 temperature: jax.Array, n_steps: int, cfg: ServeConfig
+                 ) -> Tuple[jax.Array, KVCache]:
+    """``n_steps`` decode steps with on-device sampling in ONE compiled
+    program — amortizes dispatch and lets XLA pipeline across steps
+    (host only re-enters for admission/retirement between chunks).
+
+    temperature: (B,) float32, 0 → greedy.
+    Returns (sampled tokens (B, n_steps), cache).
+    """
+
+    def one(carry, step_key):
+        cache, toks, pos = carry
+        logits, cache = _decode_step_impl(params, cache, toks, pos, cfg)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+        sampled = jax.random.categorical(step_key, scaled,
+                                         axis=-1).astype(jnp.int32)
+        nxt = jnp.where(temperature > 0, sampled, greedy)
+        return (cache, nxt, pos + 1), nxt
+
+    keys = jax.random.split(key, n_steps)
+    (cache, _, _), toks = jax.lax.scan(
+        one, (cache, tokens, positions), keys)
+    return toks.T, cache
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def prefill(params: Dict, cache: KVCache, tokens: jax.Array,
             slot: jax.Array, length: jax.Array, cfg: ServeConfig
             ) -> Tuple[jax.Array, KVCache]:
@@ -258,14 +320,15 @@ def prefill(params: Dict, cache: KVCache, tokens: jax.Array,
         kq8, kqs = quantize_kv(k, cfg.kv_fmt)
         vq8, vqs = quantize_kv(v, cfg.kv_fmt)
         z = jnp.zeros((), jnp.int32)
-        ck8 = jax.lax.dynamic_update_slice(ck8, kq8[None, None],
-                                           (li, slot, z, z, z))
-        cv8 = jax.lax.dynamic_update_slice(cv8, vq8[None, None],
-                                           (li, slot, z, z, z))
-        cks = jax.lax.dynamic_update_slice(cks, kqs[..., 0][None, None],
-                                           (li, slot, z, z))
-        cvs = jax.lax.dynamic_update_slice(cvs, vqs[..., 0][None, None],
-                                           (li, slot, z, z))
+        # (S, KV, ·) → cache layout (KV, S, ·).
+        ck8 = jax.lax.dynamic_update_slice(
+            ck8, kq8.transpose(1, 0, 2)[None, None], (li, slot, z, z, z))
+        cv8 = jax.lax.dynamic_update_slice(
+            cv8, vq8.transpose(1, 0, 2)[None, None], (li, slot, z, z, z))
+        cks = jax.lax.dynamic_update_slice(
+            cks, kqs[..., 0].T[None, None], (li, slot, z, z))
+        cvs = jax.lax.dynamic_update_slice(
+            cvs, vqs[..., 0].T[None, None], (li, slot, z, z))
 
         # Dense causal attention on the fresh (bf16) K/V — prefill is
         # compute-bound; the cache write above is for later decode reads.
@@ -299,6 +362,7 @@ def prefill(params: Dict, cache: KVCache, tokens: jax.Array,
         xs)
     h_last = jax.lax.dynamic_slice_in_dim(h, length - 1, 1, axis=0)
     h_last = _rms(h_last, params["final_norm"], mcfg.norm_eps)
-    logits = jnp.dot(h_last.astype(jnp.float32),
-                     params["embed"].T.astype(jnp.float32))[0]
+    logits = jax.lax.dot_general(
+        h_last, params["embed"], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)[0]
     return logits, KVCache(ck8, cv8, cks, cvs)

@@ -1,0 +1,111 @@
+"""Training/eval metric logging.
+
+Parity with the reference's example utilities (examples/inference/
+classifier/utils.py: SmoothedValue 10-121 with windowed medians and
+cross-process all_reduce sync at 38-46, MetricLogger, accuracy): the
+cross-process reduction here is a jitted psum over the data axis when
+running under a mesh, or a no-op single-process fallback."""
+
+from __future__ import annotations
+
+import collections
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SmoothedValue:
+    """Windowed median/average tracker (utils.py:10-60)."""
+
+    def __init__(self, window_size: int = 20, fmt: str = "{median:.4f} "
+                 "({global_avg:.4f})"):
+        self.deque = collections.deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+        self.fmt = fmt
+
+    def update(self, value, n: int = 1):
+        v = float(value)
+        self.deque.append(v)
+        self.count += n
+        self.total += v * n
+
+    @property
+    def median(self) -> float:
+        return float(np.median(self.deque)) if self.deque else 0.0
+
+    @property
+    def avg(self) -> float:
+        return float(np.mean(self.deque)) if self.deque else 0.0
+
+    @property
+    def global_avg(self) -> float:
+        return self.total / max(self.count, 1)
+
+    @property
+    def max(self) -> float:
+        return float(np.max(self.deque)) if self.deque else 0.0
+
+    @property
+    def value(self) -> float:
+        return self.deque[-1] if self.deque else 0.0
+
+    def __str__(self):
+        return self.fmt.format(median=self.median, avg=self.avg,
+                               global_avg=self.global_avg, max=self.max,
+                               value=self.value)
+
+
+class MetricLogger:
+    """Iteration logger with throughput (utils.py:63-121)."""
+
+    def __init__(self, delimiter: str = "  "):
+        self.meters: Dict[str, SmoothedValue] = collections.defaultdict(
+            SmoothedValue)
+        self.delimiter = delimiter
+
+    def update(self, **kwargs):
+        for k, v in kwargs.items():
+            self.meters[k].update(v)
+
+    def __getattr__(self, attr):
+        if attr in self.meters:
+            return self.meters[attr]
+        raise AttributeError(attr)
+
+    def __str__(self):
+        return self.delimiter.join(
+            f"{name}: {meter}" for name, meter in self.meters.items())
+
+    def log_every(self, iterable, print_freq: int, header: str = ""):
+        start = time.time()
+        iter_time = SmoothedValue(fmt="{avg:.4f}")
+        for i, obj in enumerate(iterable):
+            t0 = time.time()
+            yield obj
+            iter_time.update(time.time() - t0)
+            if i % print_freq == 0:
+                print(f"{header} [{i}]  {self}  iter_time: {iter_time}")
+        total = time.time() - start
+        print(f"{header} Total time: {total:.1f}s")
+
+
+def accuracy(logits, labels, topk=(1,)):
+    """Top-k accuracy in one jittable computation (utils.py:123-136)."""
+    results = []
+    order = jnp.argsort(logits, axis=-1)[:, ::-1]
+    for k in topk:
+        hit = (order[:, :k] == labels[:, None]).any(axis=1)
+        results.append(jnp.mean(hit.astype(jnp.float32)) * 100.0)
+    return results
+
+
+def all_reduce_mean(value, axis_name: Optional[str] = None):
+    """Cross-process metric sync (utils.py:38-46): psum under a mapped
+    axis; identity in single-process runs."""
+    if axis_name is None:
+        return value
+    return jax.lax.pmean(value, axis_name)

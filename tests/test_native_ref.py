@@ -1,0 +1,73 @@
+"""Native C++ reference library vs NumPy golden: three independent
+implementations of one numerics contract must agree bit-for-bit on all
+deterministic cells."""
+
+import numpy as np
+import pytest
+
+from fp8tpu.numerics import FORMATS, RoundMode, golden
+from fp8tpu.numerics import native_ref
+
+pytestmark = pytest.mark.skipif(not native_ref.available(),
+                                reason="no C++ toolchain")
+
+
+def _inputs(rng, span):
+    return np.concatenate([
+        rng.normal(0, span / 8, 4096),
+        rng.normal(0, span * 2, 512),
+        rng.normal(0, 1e-3, 512),
+        np.array([0.0, -0.0, np.inf, -np.inf, np.nan, span]),
+    ]).astype(np.float32)
+
+
+DET_MODES = [
+    "E5M2_RNE", "E5M2_RTZ", "E5M2_RNAZ", "E5M2_RNTZ", "E5M2_RPINF",
+    "E5M2_RNINF", "E5M2_DAZ_RNE", "E4M3_RNE", "E4M3_IEEE_RNE", "E3M4_RNE",
+    "FP4_NEAREST", "BFLOAT16_RNE", "FLOAT16_RNE", "FLOAT16_DAZ_RNE",
+]
+
+
+@pytest.mark.parametrize("mode", DET_MODES)
+def test_native_matches_golden(mode, rng):
+    span = {"E5M2": 57344.0, "E4M3": 448.0, "E4M3_IEEE": 240.0,
+            "E3M4": 30.0, "FP4": 1.0}.get(mode.rsplit("_", 1)[0], 1e4)
+    x = _inputs(rng, span)
+    expected = golden.cast_mode_string(x, mode)
+    got = native_ref.cast(x, mode)
+    nan = np.isnan(expected)
+    np.testing.assert_array_equal(got[~nan], expected[~nan])
+    assert np.isnan(got[nan]).all()
+
+
+def test_native_scaled(rng):
+    x = rng.normal(0, 5, 2048).astype(np.float32)
+    expected = golden.cast_mode_string(x, "E4M3_RNE", scale=64.0)
+    got = native_ref.cast(x, "E4M3_RNE", scale=64.0)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_native_blocked(rng):
+    x = rng.normal(0, 3, 1000).astype(np.float32)
+    expected = golden.cast_mode_string(x, "E5M2_RNE", block_norm=True,
+                                       block_size=128)
+    got = native_ref.cast(x, "E5M2_RNE", block_norm=True, block_size=128)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_native_stochastic_statistics():
+    x = np.full((20000,), 1.1, np.float32)
+    y = native_ref.cast(x, "E5M2_STOCHASTIC", seed=7)
+    vals = set(np.unique(y))
+    assert vals.issubset({np.float32(1.0), np.float32(1.25)})
+    assert abs(float((y == 1.25).mean()) - 0.4) < 0.03
+    # Deterministic in seed.
+    y2 = native_ref.cast(x, "E5M2_STOCHASTIC", seed=7)
+    np.testing.assert_array_equal(y, y2)
+    y3 = native_ref.cast(x, "E5M2_STOCHASTIC", seed=8)
+    assert not np.array_equal(y, y3)
+
+
+def test_native_unknown_mode():
+    with pytest.raises(ValueError):
+        native_ref.cast(np.ones(4, np.float32), "E9M9_RNE")
