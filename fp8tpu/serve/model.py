@@ -114,17 +114,18 @@ def convert_decoder_params(variables, cfg: DecoderConfig,
     return out
 
 
-def _attend_decode(q, k_new, v_new, k8, ks, v8, vs, positions,
+def _attend_decode(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs, positions,
                    cfg: DecoderConfig):
     """Single-token attention: cached fp8 prefix + the fresh token.
 
     The cache layout (B, KV, S, D) makes both dots transpose-free; the
     fp8 payloads upcast in-register (fused into the dot operand) and the
     per-vector scales apply to scores/probs, so no dequantized cache copy
-    ever hits HBM.  The current token's k/v are attended directly (the
-    cache write happens once per step outside the layer scan).
+    ever hits HBM.  The fresh token participates in its quantized form
+    with scale-after-dot math, bit-matching the chunked path that reads
+    it back from the staging buffer.
 
-    q: (B, H, D) bf16; k_new/v_new: (B, KV, D) bf16;
+    q: (B, H, D) bf16; kq8/vq8: (B, KV, D) fp8 with scales kqs/vqs (B,KV);
     k8/v8: (B, KV, S, D) fp8; ks/vs: (B, KV, S) f32;
     positions: (B,) — cached entries are valid at s < position.
     """
@@ -144,9 +145,10 @@ def _attend_decode(q, k_new, v_new, k8, ks, v8, vs, positions,
     scores = jnp.where(mask[:, None, None, :], scores,
                        jnp.finfo(jnp.float32).min)
     score_self = jnp.einsum(
-        "bkgd,bkd->bkg", qg, k_new.astype(q.dtype),
+        "bkgd,bkd->bkg", qg, kq8.astype(q.dtype),
         preferred_element_type=jnp.float32,
-    )[..., None]                                            # (B,KV,G,1)
+    ) * kqs[:, :, None]
+    score_self = score_self[..., None]                      # (B,KV,G,1)
 
     full = jnp.concatenate([scores, score_self], axis=-1)
     probs = jax.nn.softmax(full, axis=-1)
@@ -156,7 +158,9 @@ def _attend_decode(q, k_new, v_new, k8, ks, v8, vs, positions,
         "bkgs,bksd->bkgd", probs_s, v8.astype(q.dtype),
         preferred_element_type=jnp.float32,
     )
-    ctx = ctx + probs_self * v_new[:, :, None, :].astype(jnp.float32)
+    pr_self = (probs_self * vqs[:, :, None, None]).astype(q.dtype)
+    ctx = ctx + (pr_self.astype(jnp.float32)
+                 * vq8.astype(q.dtype).astype(jnp.float32)[:, :, None, :])
     return ctx.reshape(B, H * D).astype(q.dtype)
 
 
@@ -204,10 +208,17 @@ def _decode_step_impl(params: Dict, cache: KVCache, tokens: jax.Array,
         v = fp8_linear(x, v8w, vsw, impl).reshape(B, KV, D)
         q, k = rope1(q), rope1(k)
 
+        # Quantize the fresh token first and attend its *quantized* form
+        # — identical numerics to reading it back from the cache, keeping
+        # stepwise and chunked decode consistent.
+        kq8, kqs = quantize_kv(k, cfg.kv_fmt)
+        vq8, vqs = quantize_kv(v, cfg.kv_fmt)
+
         # Attend against the pre-step cache + the fresh token; the cache
         # write for all layers happens in ONE scatter after the scan
         # (in-scan scatters cost ~20% of the step, measured).
-        ctx = _attend_decode(q, k, v, cache.k8[li], cache.k_scale[li],
+        ctx = _attend_decode(q, kq8, kqs[..., 0], vq8, vqs[..., 0],
+                             cache.k8[li], cache.k_scale[li],
                              cache.v8[li], cache.v_scale[li], positions,
                              mcfg)
         h = h + fp8_linear(ctx, o8, osw, impl)
@@ -217,8 +228,6 @@ def _decode_step_impl(params: Dict, cache: KVCache, tokens: jax.Array,
             jnp.float32)).astype(x.dtype) * fp8_linear(x, up8, ups, impl)
         h = h + fp8_linear(act, down8, downs, impl)
 
-        kq8, kqs = quantize_kv(k, cfg.kv_fmt)
-        vq8, vqs = quantize_kv(v, cfg.kv_fmt)
         return (h, li + 1), (kq8, kqs[..., 0], vq8, vqs[..., 0])
 
     xs = (params["attn_norm"], params["mlp_norm"],
@@ -259,24 +268,172 @@ def decode_steps(params: Dict, cache: KVCache, tokens: jax.Array,
     program — amortizes dispatch and lets XLA pipeline across steps
     (host only re-enters for admission/retirement between chunks).
 
+    The chunk's fresh k/v are staged in a step-major buffer whose writes
+    are large contiguous slabs (per-token scatters into the big cache cost
+    ~100ns per 128-byte fragment — measured 4 ms/step at 16×32×16 heads);
+    attention covers cached prefix + staged chunk, and the staging buffer
+    merges into the cache ONCE per chunk.
+
     temperature: (B,) float32, 0 → greedy.
     Returns (sampled tokens (B, n_steps), cache).
     """
+    mcfg = cfg.model
+    H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
+    B = tokens.shape[0]
+    L = mcfg.n_layers
+    impl = cfg.matmul_impl
+    kv_dt = cache.k8.dtype
+    inv_freq = rope_freqs(mcfg)
 
-    def one(carry, step_key):
-        cache, toks, pos = carry
-        logits, cache = _decode_step_impl(params, cache, toks, pos, cfg)
+    # Step-major staging: (T, L, B, KV, D) — writes at (t, l) are
+    # contiguous B·KV·D slabs.
+    rk8 = jnp.zeros((n_steps, L, B, KV, D), kv_dt)
+    rv8 = jnp.zeros((n_steps, L, B, KV, D), kv_dt)
+    rks = jnp.zeros((n_steps, L, B, KV), jnp.float32)
+    rvs = jnp.zeros((n_steps, L, B, KV), jnp.float32)
+
+    def one(carry, step_in):
+        toks, pos, rk8, rv8, rks, rvs, t = carry
+        step_key = step_in
+        h = params["embed"][toks].astype(jnp.bfloat16)
+
+        ang = pos[:, None].astype(jnp.float32) * inv_freq
+        cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+        def rope1(x):
+            x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+            c, s = cos[:, None], sin[:, None]
+            return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
+                                   axis=-1).astype(x.dtype)
+
+        def layer_step(lcarry, xs):
+            h, rk8, rv8, rks, rvs, li = lcarry
+            (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
+             gate8, gates, up8, ups, down8, downs) = xs
+
+            x = _rms(h, attn_norm, mcfg.norm_eps)
+            q = fp8_linear(x, q8, qs, impl).reshape(B, H, D)
+            k = fp8_linear(x, k8w, ksw, impl).reshape(B, KV, D)
+            v = fp8_linear(x, v8w, vsw, impl).reshape(B, KV, D)
+            q, k = rope1(q), rope1(k)
+
+            kq8, kqs = quantize_kv(k, cfg.kv_fmt)
+            vq8, vqs = quantize_kv(v, cfg.kv_fmt)
+            z = jnp.zeros((), jnp.int32)
+            rk8 = jax.lax.dynamic_update_slice(
+                rk8, kq8[None, None], (t, li, z, z, z))
+            rv8 = jax.lax.dynamic_update_slice(
+                rv8, vq8[None, None], (t, li, z, z, z))
+            rks = jax.lax.dynamic_update_slice(
+                rks, kqs[..., 0][None, None], (t, li, z, z))
+            rvs = jax.lax.dynamic_update_slice(
+                rvs, vqs[..., 0][None, None], (t, li, z, z))
+
+            ctx = _attend_chunked(
+                q, cache.k8[li], cache.k_scale[li], cache.v8[li],
+                cache.v_scale[li], rk8[:, li], rks[:, li], rv8[:, li],
+                rvs[:, li], positions, t, mcfg)
+            h = h + fp8_linear(ctx, o8, osw, impl)
+
+            x = _rms(h, mlp_norm, mcfg.norm_eps)
+            act = jax.nn.silu(fp8_linear(x, gate8, gates, impl).astype(
+                jnp.float32)).astype(x.dtype) * fp8_linear(x, up8, ups,
+                                                           impl)
+            h = h + fp8_linear(act, down8, downs, impl)
+            return (h, rk8, rv8, rks, rvs, li + 1), ()
+
+        xs = (params["attn_norm"], params["mlp_norm"],
+              params["q8"], params["qs"], params["k8"], params["ks"],
+              params["v8"], params["vs"], params["o8"], params["os"],
+              params["gate8"], params["gates"], params["up8"],
+              params["ups"], params["down8"], params["downs"])
+        (h, rk8, rv8, rks, rvs, _), _ = jax.lax.scan(
+            layer_step, (h, rk8, rv8, rks, rvs, jnp.int32(0)), xs)
+
+        h = _rms(h, params["final_norm"], mcfg.norm_eps)
+        logits = jax.lax.dot_general(
+            h, params["embed"], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
         sampled = jax.random.categorical(step_key, scaled,
                                          axis=-1).astype(jnp.int32)
         nxt = jnp.where(temperature > 0, sampled, greedy)
-        return (cache, nxt, pos + 1), nxt
+        return (nxt, pos + 1, rk8, rv8, rks, rvs, t + 1), nxt
 
     keys = jax.random.split(key, n_steps)
-    (cache, _, _), toks = jax.lax.scan(
-        one, (cache, tokens, positions), keys)
-    return toks.T, cache
+    (_, _, rk8, rv8, rks, rvs, _), toks = jax.lax.scan(
+        one, (tokens, positions, rk8, rv8, rks, rvs, jnp.int32(0)), keys)
+
+    # Merge the staged chunk into the cache: per-slot contiguous
+    # (L, KV, T, D) slabs at each slot's start position.
+    mk8 = rk8.transpose(2, 1, 3, 0, 4)     # (B, L, KV, T, D)
+    mv8 = rv8.transpose(2, 1, 3, 0, 4)
+    mks = rks.transpose(2, 1, 3, 0)        # (B, L, KV, T)
+    mvs = rvs.transpose(2, 1, 3, 0)
+
+    def write_slot(b, arrs):
+        ck8, cv8, cks, cvs = arrs
+        z = jnp.zeros((), jnp.int32)
+        p = positions[b]
+        ck8 = jax.lax.dynamic_update_slice(
+            ck8, mk8[b][:, None], (z, b, z, p, z))
+        cv8 = jax.lax.dynamic_update_slice(
+            cv8, mv8[b][:, None], (z, b, z, p, z))
+        cks = jax.lax.dynamic_update_slice(
+            cks, mks[b][:, None], (z, b, z, p))
+        cvs = jax.lax.dynamic_update_slice(
+            cvs, mvs[b][:, None], (z, b, z, p))
+        return ck8, cv8, cks, cvs
+
+    ck8, cv8, cks, cvs = jax.lax.fori_loop(
+        0, B, write_slot,
+        (cache.k8, cache.v8, cache.k_scale, cache.v_scale))
+    return toks.T, KVCache(ck8, cv8, cks, cvs)
+
+
+def _attend_chunked(q, k8, ks, v8, vs, rk8, rks, rv8, rvs, chunk_start,
+                    t, cfg: DecoderConfig):
+    """Decode attention over (cached prefix) + (staged chunk ≤ t).
+
+    q: (B,H,D); cache k8/v8: (B,KV,S,D) with scales (B,KV,S), valid at
+    s < chunk_start (per slot); staged rk8/rv8: (T,B,KV,D) with scales
+    (T,B,KV), valid at tt ≤ t (the current token was staged first).
+    """
+    B, H, D = q.shape
+    KV, S = k8.shape[1], k8.shape[2]
+    T = rk8.shape[0]
+    G = H // KV
+    qg = (q.astype(jnp.float32)
+          / jnp.sqrt(D).astype(jnp.float32)).astype(q.dtype)
+    qg = qg.reshape(B, KV, G, D)
+
+    scores_c = jnp.einsum(
+        "bkgd,bksd->bkgs", qg, k8.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * ks[:, :, None, :]
+    mask_c = jnp.arange(S)[None, :] < chunk_start[:, None]
+    scores_c = jnp.where(mask_c[:, None, None, :], scores_c,
+                         jnp.finfo(jnp.float32).min)
+
+    scores_r = jnp.einsum(
+        "bkgd,tbkd->bkgt", qg, rk8.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * rks.transpose(1, 2, 0)[:, :, None, :]
+    mask_r = jnp.arange(T) <= t
+    scores_r = jnp.where(mask_r[None, None, None, :], scores_r,
+                         jnp.finfo(jnp.float32).min)
+
+    full = jnp.concatenate([scores_c, scores_r], axis=-1)
+    probs = jax.nn.softmax(full, axis=-1)
+    pc = (probs[..., :S] * vs[:, :, None, :]).astype(q.dtype)
+    pr = (probs[..., S:] * rvs.transpose(1, 2, 0)[:, :, None, :]).astype(
+        q.dtype)
+    ctx = jnp.einsum("bkgs,bksd->bkgd", pc, v8.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    ctx = ctx + jnp.einsum("bkgt,tbkd->bkgd", pr, rv8.astype(q.dtype),
+                           preferred_element_type=jnp.float32)
+    return ctx.reshape(B, H * D).astype(q.dtype)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
