@@ -28,33 +28,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fp8tpu.models import Decoder, DecoderConfig
-from fp8tpu.serve import KVCache, ServeConfig, convert_decoder_params
-from fp8tpu.serve.model import decode_steps
+from fp8tpu.models import DecoderConfig
+from fp8tpu.serve import KVCache, ServeConfig
+from fp8tpu.serve.model import decode_steps, random_serve_params
 
-# ~0.9B params: 16 layers × d2048/ff5504 + 16k vocab.
-CFG = DecoderConfig(vocab_size=16384, d_model=2048, n_layers=16,
-                    n_heads=16, n_kv_heads=16, d_ff=5504,
+# ~3B params (7B-class serving workload scaled to one v5e chip's HBM so
+# the bf16 baseline also fits): 16 layers × d4096/ff11008 + 32k vocab,
+# GQA 32q/8kv — the industry-standard head layout (llama-3 class).
+CFG = DecoderConfig(vocab_size=32768, d_model=4096, n_layers=16,
+                    n_heads=32, n_kv_heads=8, d_ff=11008,
                     max_seq_len=1024)
-BATCH = 32
+BATCH = 64
 CACHE_LEN = 512
-STEPS = 24
+STEPS = 32
 WARM_POS = 256      # decode from a warm cache position
 
 
 def make_params(fmt: str):
-    """Random-initialized serving params (weights stream from HBM the same
-    regardless of values)."""
-    m = Decoder(CFG)
-    tokens = jnp.ones((1, 8), jnp.int32)
-    variables = jax.jit(m.init)(jax.random.key(0), tokens)
-    p = convert_decoder_params(variables, CFG, fmt=fmt)
-    del variables
-    return p
+    """Random-initialized serving params built directly in the target
+    dtype (weights stream from HBM the same regardless of values; a 3B
+    f32 init would not fit HBM next to the bf16 variant)."""
+    return random_serve_params(CFG, fmt, embed_fmt=fmt)
 
 
 def bench_variant(fmt: str, kv_fmt: str) -> float:
-    scfg = ServeConfig(model=CFG, weight_fmt=fmt, kv_fmt=kv_fmt)
+    scfg = ServeConfig(model=CFG, weight_fmt=fmt, kv_fmt=kv_fmt,
+                       embed_fmt=fmt)
     params = make_params(fmt)
     cache = KVCache.create(CFG.n_layers, BATCH, CACHE_LEN, CFG.n_kv_heads,
                            CFG.head_dim, kv_fmt)
@@ -74,15 +73,21 @@ def bench_variant(fmt: str, kv_fmt: str) -> float:
     toks, cache = run_chunk(cache)
     np.asarray(toks).sum()
 
-    # Relay/dispatch timing is noisy: take the best of three windows.
+    # Steady-state decode: DEPTH chunks are dispatched back-to-back (the
+    # donated cache chains them on device) and the host syncs once per
+    # window — the engine's continuous-batching pattern.  This amortizes
+    # the host<->device round-trip (~30 ms on this tunnel) the same way
+    # a real serving loop does.
+    DEPTH = 2
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        toks, cache = run_chunk(cache)
+        for _ in range(DEPTH):
+            toks, cache = run_chunk(cache)
         np.asarray(toks).sum()        # one sync closes the window
         best = min(best, time.perf_counter() - t0)
 
-    tok_s = BATCH * STEPS / best
+    tok_s = BATCH * STEPS * DEPTH / best
     del params, cache
     return tok_s
 

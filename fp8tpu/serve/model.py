@@ -36,6 +36,20 @@ class ServeConfig:
     # 'convert': dequantize weights in-register via XLA convert (W8A16).
     # 'direct' : feed fp8 operands straight to the MXU dot (W8A8).
     matmul_impl: str = "convert"
+    # Embedding / tied LM head storage: "bf16" keeps the reference's
+    # exempt-classifier-head default; an fp8 fmt stores per-row-scaled
+    # payloads (the reference's block_norm embedding mode,
+    # e5m2_emu.py:119-137, row = block).
+    embed_fmt: str = "bf16"
+    # In-place staged-buffer writes: "pallas" aliases buffers via the
+    # dyn_store kernel (TPU), "xla" uses dynamic_update_slice (CPU).
+    staging_impl: str = "auto"
+
+
+def _staging_pallas(cfg: "ServeConfig") -> bool:
+    if cfg.staging_impl == "auto":
+        return jax.default_backend() == "tpu"
+    return cfg.staging_impl == "pallas"
 
 
 def fp8_linear(x: jax.Array, w8: jax.Array, scale: jax.Array,
@@ -67,6 +81,26 @@ def _quantize_act(x: jax.Array, fmt: str = "e4m3"):
     return q, s
 
 
+def _embed_lookup(params, toks):
+    e = params["embed"]
+    if "embed_s" in params:
+        rows = e[toks].astype(jnp.bfloat16)
+        return rows * params["embed_s"][toks][:, None].astype(jnp.bfloat16)
+    return e[toks].astype(jnp.bfloat16)
+
+
+def _lm_head(params, h):
+    """Tied LM head: contract on the table's feature axis directly — no
+    transposed/upcast copy of the (V, Dm) table in HBM."""
+    e = params["embed"]
+    logits = jax.lax.dot_general(
+        h, e.astype(jnp.bfloat16) if e.dtype != jnp.bfloat16 else e,
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if "embed_s" in params:
+        logits = logits * params["embed_s"][None, :]
+    return logits
+
+
 def _rms(x, scale, eps):
     var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
     y = x.astype(jnp.float32) * jax.lax.rsqrt(var + eps) * scale
@@ -74,7 +108,8 @@ def _rms(x, scale, eps):
 
 
 def convert_decoder_params(variables, cfg: DecoderConfig,
-                           fmt: str = "e4m3") -> Dict:
+                           fmt: str = "e4m3",
+                           embed_fmt: str = "bf16") -> Dict:
     """Quantize trained Decoder params (fp8tpu.models.transformer) into the
     serving artifact: stacked per-layer fp8 payloads + scales."""
     p = variables["params"]
@@ -109,8 +144,50 @@ def convert_decoder_params(variables, cfg: DecoderConfig,
             layers[tags].append(s)
 
     out = {k: jnp.stack(v) for k, v in layers.items()}
-    out["embed"] = p["embed"]["embedding"].astype(jnp.bfloat16)
+    emb = p["embed"]["embedding"]
+    if embed_fmt == "bf16":
+        out["embed"] = emb.astype(jnp.bfloat16)
+    else:
+        payload, es = quantize_weights(emb, embed_fmt, axis=0)
+        out["embed"] = payload
+        out["embed_s"] = es.reshape(-1)          # per-row (vocab) scales
     out["final_norm"] = p["final_norm"]["scale"]
+    return out
+
+
+def random_serve_params(cfg: DecoderConfig, fmt: str = "e4m3",
+                        embed_fmt: str = "bf16", seed: int = 0) -> Dict:
+    """Random serving params built DIRECTLY in the target dtype — for
+    benchmarks of models whose f32 training-form init would not fit HBM
+    (a 3B f32 init is ~12 GB; the fp8 artifact is ~3 GB).  Weight
+    streaming cost is value-independent."""
+    L, Dm, FF = cfg.n_layers, cfg.d_model, cfg.d_ff
+    HD, KVD = cfg.n_heads * cfg.head_dim, cfg.n_kv_heads * cfg.head_dim
+    dt = jnp.bfloat16 if fmt == "bf16" else _FP8_DTYPES[fmt]
+    key = jax.random.key(seed)
+
+    def w(key, k, n):
+        x = jax.random.normal(key, (L, k, n), jnp.bfloat16) * 0.02
+        return x.astype(dt)
+
+    ks = jax.random.split(key, 8)
+    out = {
+        "attn_norm": jnp.ones((L, Dm), jnp.float32),
+        "mlp_norm": jnp.ones((L, Dm), jnp.float32),
+        "q8": w(ks[0], Dm, HD), "qs": jnp.ones((L, HD), jnp.float32),
+        "k8": w(ks[1], Dm, KVD), "ks": jnp.ones((L, KVD), jnp.float32),
+        "v8": w(ks[2], Dm, KVD), "vs": jnp.ones((L, KVD), jnp.float32),
+        "o8": w(ks[3], HD, Dm), "os": jnp.ones((L, Dm), jnp.float32),
+        "gate8": w(ks[4], Dm, FF), "gates": jnp.ones((L, FF), jnp.float32),
+        "up8": w(ks[5], Dm, FF), "ups": jnp.ones((L, FF), jnp.float32),
+        "down8": w(ks[6], FF, Dm), "downs": jnp.ones((L, Dm), jnp.float32),
+        "embed": jax.random.normal(ks[7], (cfg.vocab_size, Dm),
+                                   jnp.bfloat16) * 0.02,
+        "final_norm": jnp.ones((Dm,), jnp.float32),
+    }
+    if embed_fmt != "bf16":
+        out["embed"] = out["embed"].astype(_FP8_DTYPES[embed_fmt])
+        out["embed_s"] = jnp.ones((cfg.vocab_size,), jnp.float32)
     return out
 
 
@@ -118,50 +195,26 @@ def _attend_decode(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs, positions,
                    cfg: DecoderConfig):
     """Single-token attention: cached fp8 prefix + the fresh token.
 
-    The cache layout (B, KV, S, D) makes both dots transpose-free; the
-    fp8 payloads upcast in-register (fused into the dot operand) and the
-    per-vector scales apply to scores/probs, so no dequantized cache copy
-    ever hits HBM.  The fresh token participates in its quantized form
-    with scale-after-dot math, bit-matching the chunked path that reads
-    it back from the staging buffer.
+    Delegates to :func:`_attend_chunked` with an empty (fully masked)
+    staged chunk — the masked terms contribute exact +0.0 everywhere, so
+    stepwise decode is BIT-IDENTICAL to the first token of a chunked
+    decode (the engine mixes both paths and the chunked-vs-stepwise
+    tests rely on trajectory equality).
 
     q: (B, H, D) bf16; kq8/vq8: (B, KV, D) fp8 with scales kqs/vqs (B,KV);
     k8/v8: (B, KV, S, D) fp8; ks/vs: (B, KV, S) f32;
     positions: (B,) — cached entries are valid at s < position.
     """
-    B, H, D = q.shape
-    KV, S = k8.shape[1], k8.shape[2]
-    G = H // KV
-    qg = (q.astype(jnp.float32)
-          / jnp.sqrt(D).astype(jnp.float32)).astype(q.dtype)
-    qg = qg.reshape(B, KV, G, D)
-
-    scores = jnp.einsum(
-        "bkgd,bksd->bkgs", qg, k8.astype(q.dtype),
-        preferred_element_type=jnp.float32,
-    )
-    scores = scores * ks[:, :, None, :]
-    mask = jnp.arange(S)[None, :] < positions[:, None]      # (B, S)
-    scores = jnp.where(mask[:, None, None, :], scores,
-                       jnp.finfo(jnp.float32).min)
-    score_self = jnp.einsum(
-        "bkgd,bkd->bkg", qg, kq8.astype(q.dtype),
-        preferred_element_type=jnp.float32,
-    ) * kqs[:, :, None]
-    score_self = score_self[..., None]                      # (B,KV,G,1)
-
-    full = jnp.concatenate([scores, score_self], axis=-1)
-    probs = jax.nn.softmax(full, axis=-1)
-    probs_c, probs_self = probs[..., :S], probs[..., S:]
-    probs_s = (probs_c * vs[:, :, None, :]).astype(q.dtype)
-    ctx = jnp.einsum(
-        "bkgs,bksd->bkgd", probs_s, v8.astype(q.dtype),
-        preferred_element_type=jnp.float32,
-    )
-    pr_self = (probs_self * vqs[:, :, None, None]).astype(q.dtype)
-    ctx = ctx + (pr_self.astype(jnp.float32)
-                 * vq8.astype(q.dtype).astype(jnp.float32)[:, :, None, :])
-    return ctx.reshape(B, H * D).astype(q.dtype)
+    B = q.shape[0]
+    KV, D = k8.shape[1], k8.shape[3]
+    kv_dt = k8.dtype
+    rk8 = jnp.zeros((1, B * KV, D), kv_dt)
+    rv8 = jnp.zeros((1, B * KV, D), kv_dt)
+    rks = jnp.zeros((1, B * KV), jnp.float32)
+    rvs = jnp.zeros((1, B * KV), jnp.float32)
+    return _attend_chunked(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs,
+                           rk8, rks, rv8, rvs, positions, jnp.int32(0),
+                           cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
@@ -186,7 +239,7 @@ def _decode_step_impl(params: Dict, cache: KVCache, tokens: jax.Array,
     B = tokens.shape[0]
     impl = cfg.matmul_impl
 
-    h = params["embed"][tokens]                           # (B, Dm)
+    h = _embed_lookup(params, tokens)                     # (B, Dm)
     inv_freq = rope_freqs(mcfg)
     ang = positions[:, None].astype(jnp.float32) * inv_freq  # (B, D/2)
     cos, sin = jnp.cos(ang), jnp.sin(ang)
@@ -250,11 +303,7 @@ def _decode_step_impl(params: Dict, cache: KVCache, tokens: jax.Array,
         vqs.transpose(1, 0, 2))
 
     h = _rms(h, params["final_norm"], mcfg.norm_eps)
-    # Tied LM head: contract on the embedding's feature axis directly —
-    # no transposed/upcast copy of the (V, Dm) table.
-    logits = jax.lax.dot_general(
-        h, params["embed"], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    logits = _lm_head(params, h)
     return logits, KVCache(ck8, cv8, cks, cvs)
 
 
@@ -285,17 +334,23 @@ def decode_steps(params: Dict, cache: KVCache, tokens: jax.Array,
     kv_dt = cache.k8.dtype
     inv_freq = rope_freqs(mcfg)
 
-    # Step-major staging: (T, L, B, KV, D) — writes at (t, l) are
-    # contiguous B·KV·D slabs.
-    rk8 = jnp.zeros((n_steps, L, B, KV, D), kv_dt)
-    rv8 = jnp.zeros((n_steps, L, B, KV, D), kv_dt)
-    rks = jnp.zeros((n_steps, L, B, KV), jnp.float32)
-    rvs = jnp.zeros((n_steps, L, B, KV), jnp.float32)
+    # Step-major staging: (T, 2, L, B*KV, D) — k and v packed so each
+    # step issues ONE slab write per buffer, with the (B, KV) dims
+    # flattened to keep every trailing dim tile-aligned (fp8's sublane
+    # tile is 32; a bare KV=8 dim would be 4x-padded in HBM and every
+    # read/write would pay a relayout copy).  Writes go through the
+    # aliasing dyn_store kernel on TPU: a plain dynamic_update_slice on
+    # a carry that the layer scan also reads makes XLA copy the whole
+    # buffer every step (~0.5 ms/step at 3B scale, profiled).
+    use_pallas = _staging_pallas(cfg)
+    BK = B * KV
+    rkv8 = jnp.zeros((n_steps, 2, L, BK, D), kv_dt)
+    rsc = jnp.zeros((n_steps, 2, L, BK), jnp.float32)
 
     def one(carry, step_in):
-        toks, pos, rk8, rv8, rks, rvs, t = carry
+        toks, pos, rkv8, rsc, t = carry
         step_key = step_in
-        h = params["embed"][toks].astype(jnp.bfloat16)
+        h = _embed_lookup(params, toks)
 
         ang = pos[:, None].astype(jnp.float32) * inv_freq
         cos, sin = jnp.cos(ang), jnp.sin(ang)
@@ -307,7 +362,7 @@ def decode_steps(params: Dict, cache: KVCache, tokens: jax.Array,
                                    axis=-1).astype(x.dtype)
 
         def layer_step(lcarry, xs):
-            h, rk8, rv8, rks, rvs, li = lcarry
+            h, li = lcarry
             (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
              gate8, gates, up8, ups, down8, downs) = xs
 
@@ -319,20 +374,17 @@ def decode_steps(params: Dict, cache: KVCache, tokens: jax.Array,
 
             kq8, kqs = quantize_kv(k, cfg.kv_fmt)
             vq8, vqs = quantize_kv(v, cfg.kv_fmt)
-            z = jnp.zeros((), jnp.int32)
-            rk8 = jax.lax.dynamic_update_slice(
-                rk8, kq8[None, None], (t, li, z, z, z))
-            rv8 = jax.lax.dynamic_update_slice(
-                rv8, vq8[None, None], (t, li, z, z, z))
-            rks = jax.lax.dynamic_update_slice(
-                rks, kqs[..., 0][None, None], (t, li, z, z))
-            rvs = jax.lax.dynamic_update_slice(
-                rvs, vqs[..., 0][None, None], (t, li, z, z))
+            kqs0, vqs0 = kqs[..., 0], vqs[..., 0]
 
+            # Attend: cached prefix + staged chunk (t' < t) + the fresh
+            # token itself (local, never read back from staging).
             ctx = _attend_chunked(
-                q, cache.k8[li], cache.k_scale[li], cache.v8[li],
-                cache.v_scale[li], rk8[:, li], rks[:, li], rv8[:, li],
-                rvs[:, li], positions, t, mcfg)
+                q, kq8, kqs0, vq8, vqs0,
+                cache.k8[li], cache.k_scale[li], cache.v8[li],
+                cache.v_scale[li], rkv8[:, 0, li], rsc[:, 0, li],
+                rkv8[:, 1, li], rsc[:, 1, li], positions, t, mcfg)
+            kq8, vq8 = kq8.reshape(BK, D), vq8.reshape(BK, D)
+            kqs, vqs = kqs.reshape(BK), vqs.reshape(BK)
             h = h + fp8_linear(ctx, o8, osw, impl)
 
             x = _rms(h, mlp_norm, mcfg.norm_eps)
@@ -340,37 +392,44 @@ def decode_steps(params: Dict, cache: KVCache, tokens: jax.Array,
                 jnp.float32)).astype(x.dtype) * fp8_linear(x, up8, ups,
                                                            impl)
             h = h + fp8_linear(act, down8, downs, impl)
-            return (h, rk8, rv8, rks, rvs, li + 1), ()
+            return (h, li + 1), (kq8, kqs, vq8, vqs)
 
         xs = (params["attn_norm"], params["mlp_norm"],
               params["q8"], params["qs"], params["k8"], params["ks"],
               params["v8"], params["vs"], params["o8"], params["os"],
               params["gate8"], params["gates"], params["up8"],
               params["ups"], params["down8"], params["downs"])
-        (h, rk8, rv8, rks, rvs, _), _ = jax.lax.scan(
-            layer_step, (h, rk8, rv8, rks, rvs, jnp.int32(0)), xs)
+        (h, _), (fk8, fks, fv8, fvs) = jax.lax.scan(
+            layer_step, (h, jnp.int32(0)), xs)
+
+        # One packed slab write per buffer per step at index t.
+        from fp8tpu.kernels.inplace import dyn_store
+        rkv8 = dyn_store(rkv8, jnp.stack([fk8, fv8]), t,
+                         use_pallas=use_pallas)
+        rsc = dyn_store(rsc, jnp.stack([fks, fvs]), t,
+                        use_pallas=use_pallas)
 
         h = _rms(h, params["final_norm"], mcfg.norm_eps)
-        logits = jax.lax.dot_general(
-            h, params["embed"], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        logits = _lm_head(params, h)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
         sampled = jax.random.categorical(step_key, scaled,
                                          axis=-1).astype(jnp.int32)
         nxt = jnp.where(temperature > 0, sampled, greedy)
-        return (nxt, pos + 1, rk8, rv8, rks, rvs, t + 1), nxt
+        return (nxt, pos + 1, rkv8, rsc, t + 1), nxt
 
     keys = jax.random.split(key, n_steps)
-    (_, _, rk8, rv8, rks, rvs, _), toks = jax.lax.scan(
-        one, (tokens, positions, rk8, rv8, rks, rvs, jnp.int32(0)), keys)
+    (_, _, rkv8, rsc, _), toks = jax.lax.scan(
+        one, (tokens, positions, rkv8, rsc, jnp.int32(0)), keys)
 
     # Merge the staged chunk into the cache: per-slot contiguous
     # (L, KV, T, D) slabs at each slot's start position.
-    mk8 = rk8.transpose(2, 1, 3, 0, 4)     # (B, L, KV, T, D)
-    mv8 = rv8.transpose(2, 1, 3, 0, 4)
-    mks = rks.transpose(2, 1, 3, 0)        # (B, L, KV, T)
-    mvs = rvs.transpose(2, 1, 3, 0)
+    rk8u = rkv8[:, 0].reshape(n_steps, L, B, KV, D)
+    rv8u = rkv8[:, 1].reshape(n_steps, L, B, KV, D)
+    mk8 = rk8u.transpose(2, 1, 3, 0, 4)         # (B, L, KV, T, D)
+    mv8 = rv8u.transpose(2, 1, 3, 0, 4)
+    mks = rsc[:, 0].reshape(n_steps, L, B, KV).transpose(2, 1, 3, 0)
+    mvs = rsc[:, 1].reshape(n_steps, L, B, KV).transpose(2, 1, 3, 0)
 
     def write_slot(b, arrs):
         ck8, cv8, cks, cvs = arrs
@@ -392,13 +451,22 @@ def decode_steps(params: Dict, cache: KVCache, tokens: jax.Array,
     return toks.T, KVCache(ck8, cv8, cks, cvs)
 
 
-def _attend_chunked(q, k8, ks, v8, vs, rk8, rks, rv8, rvs, chunk_start,
-                    t, cfg: DecoderConfig):
-    """Decode attention over (cached prefix) + (staged chunk ≤ t).
+_NEG = -1e30  # finite mask value keeps exp() NaN-free for empty slots
 
-    q: (B,H,D); cache k8/v8: (B,KV,S,D) with scales (B,KV,S), valid at
-    s < chunk_start (per slot); staged rk8/rv8: (T,B,KV,D) with scales
-    (T,B,KV), valid at tt ≤ t (the current token was staged first).
+
+def _attend_chunked(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs, rk8, rks, rv8,
+                    rvs, chunk_start, t, cfg: DecoderConfig):
+    """Decode attention over (cached prefix) + (staged chunk < t) + the
+    fresh token itself, flash-style: unnormalized exp-partials everywhere
+    and ONE division on the (B,KV,G,D) context — not on the (·,S+T)-wide
+    probabilities (the softmax divide over the concat was ~6 µs/layer).
+
+    q: (B,H,D); fresh kq8/vq8: (B,KV,D) with scales kqs/vqs (B,KV);
+    cache k8/v8: (B,KV,S,D) with scales (B,KV,S), valid at s <
+    chunk_start; staged rk8/rv8: (T,B*KV,D) with scales (T,B*KV) — the
+    (B,KV) dims arrive flattened to keep staging buffers tile-aligned —
+    valid at tt < t (the current token attends its local quantized form,
+    identical numerics to reading it back from staging).
     """
     B, H, D = q.shape
     KV, S = k8.shape[1], k8.shape[2]
@@ -413,26 +481,38 @@ def _attend_chunked(q, k8, ks, v8, vs, rk8, rks, rv8, rvs, chunk_start,
         preferred_element_type=jnp.float32,
     ) * ks[:, :, None, :]
     mask_c = jnp.arange(S)[None, :] < chunk_start[:, None]
-    scores_c = jnp.where(mask_c[:, None, None, :], scores_c,
-                         jnp.finfo(jnp.float32).min)
+    scores_c = jnp.where(mask_c[:, None, None, :], scores_c, _NEG)
 
     scores_r = jnp.einsum(
-        "bkgd,tbkd->bkgt", qg, rk8.astype(q.dtype),
+        "xgd,txd->xgt", qg.reshape(B * KV, G, D), rk8.astype(q.dtype),
         preferred_element_type=jnp.float32,
-    ) * rks.transpose(1, 2, 0)[:, :, None, :]
-    mask_r = jnp.arange(T) <= t
-    scores_r = jnp.where(mask_r[None, None, None, :], scores_r,
-                         jnp.finfo(jnp.float32).min)
+    ).reshape(B, KV, G, T) * rks.T.reshape(B, KV, 1, T)
+    mask_r = jnp.arange(T) < t
+    scores_r = jnp.where(mask_r[None, None, None, :], scores_r, _NEG)
 
-    full = jnp.concatenate([scores_c, scores_r], axis=-1)
-    probs = jax.nn.softmax(full, axis=-1)
-    pc = (probs[..., :S] * vs[:, :, None, :]).astype(q.dtype)
-    pr = (probs[..., S:] * rvs.transpose(1, 2, 0)[:, :, None, :]).astype(
-        q.dtype)
-    ctx = jnp.einsum("bkgs,bksd->bkgd", pc, v8.astype(q.dtype),
+    score_self = jnp.einsum(
+        "bkgd,bkd->bkg", qg, kq8.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * kqs[:, :, None]                                     # (B,KV,G)
+
+    m = jnp.maximum(
+        jnp.maximum(jnp.max(scores_c, axis=-1), jnp.max(scores_r, axis=-1)),
+        score_self)                                         # (B,KV,G)
+    pc = jnp.exp(scores_c - m[..., None])
+    pr = jnp.exp(scores_r - m[..., None])
+    ps = jnp.exp(score_self - m)
+    l = pc.sum(-1) + pr.sum(-1) + ps                        # (B,KV,G)
+
+    pcs = (pc * vs[:, :, None, :]).astype(q.dtype)
+    prs = (pr * rvs.T.reshape(B, KV, 1, T)).astype(q.dtype)
+    ctx = jnp.einsum("bkgs,bksd->bkgd", pcs, v8.astype(q.dtype),
                      preferred_element_type=jnp.float32)
-    ctx = ctx + jnp.einsum("bkgt,tbkd->bkgd", pr, rv8.astype(q.dtype),
-                           preferred_element_type=jnp.float32)
+    ctx = ctx + jnp.einsum(
+        "xgt,txd->xgd", prs.reshape(B * KV, G, T), rv8.astype(q.dtype),
+        preferred_element_type=jnp.float32).reshape(B, KV, G, D)
+    ctx = ctx + ((ps * vqs[:, :, None])[..., None]
+                 * vq8.astype(jnp.float32)[:, :, None, :])
+    ctx = ctx / l[..., None]
     return ctx.reshape(B, H * D).astype(q.dtype)
 
 
@@ -449,7 +529,7 @@ def prefill(params: Dict, cache: KVCache, tokens: jax.Array,
     S = tokens.shape[0]
     impl = cfg.matmul_impl
 
-    h = params["embed"][tokens]                           # (S, Dm)
+    h = _embed_lookup(params, tokens)                     # (S, Dm)
     inv_freq = rope_freqs(mcfg)
     pos = jnp.arange(S)
     ang = pos[:, None].astype(jnp.float32) * inv_freq
@@ -519,7 +599,5 @@ def prefill(params: Dict, cache: KVCache, tokens: jax.Array,
         xs)
     h_last = jax.lax.dynamic_slice_in_dim(h, length - 1, 1, axis=0)
     h_last = _rms(h_last, params["final_norm"], mcfg.norm_eps)
-    logits = jax.lax.dot_general(
-        h_last, params["embed"], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)[0]
+    logits = _lm_head(params, h_last)[0]
     return logits, KVCache(ck8, cv8, cks, cvs)
