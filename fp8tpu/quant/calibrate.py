@@ -28,7 +28,7 @@ from .policy import QuantPolicy
 
 
 def collect_stats_fn(model: nn.Module, policy: Optional[QuantPolicy] = None,
-                     method=None) -> Callable:
+                     method=None, per_channel: bool = False) -> Callable:
     """Build a jittable ``(variables, *args) -> (out, stats)`` function.
 
     If ``policy`` is given, activations are fake-quantized *while
@@ -43,6 +43,7 @@ def collect_stats_fn(model: nn.Module, policy: Optional[QuantPolicy] = None,
         interceptor = make_quant_interceptor(
             policy if policy is not None else _NULL_POLICY,
             stats_sink=sink,
+            per_channel_stats=per_channel,
         )
         with nn.intercept_methods(interceptor):
             out = model.apply(variables, *args, method=method, **kwargs)
@@ -107,10 +108,14 @@ def calibrate(
     mode: str = "minmax",
     momentum: float = 0.9,
     method=None,
+    per_channel: bool = False,
 ) -> Dict[str, Dict[str, jax.Array]]:
     """Run the calibration sweep over ``batches`` (each an args tuple or a
-    single array) and return merged per-module stats."""
-    run = jax.jit(collect_stats_fn(model, policy, method=method))
+    single array) and return merged per-module stats.  ``per_channel``
+    adds last-axis per-channel observers (ChannleWiseMinMaxStats,
+    stats_collector.py:307-341)."""
+    run = jax.jit(collect_stats_fn(model, policy, method=method,
+                                   per_channel=per_channel))
     acc = None
     for batch in batches:
         args = batch if isinstance(batch, tuple) else (batch,)

@@ -1,0 +1,115 @@
+"""Fused-engine matmul routing — the TPU analog of the reference's
+"HW patching" C-model (qutils.py:478-509 monkey-patches torch.addmm/
+matmul/mm onto mpemu.cmodel.simple's blocked 16x16x64 GEMM engine).
+
+On TPU the MXU *is* the systolic engine, so "patching" a module means
+computing its contraction through the fused Pallas ``qdq_matmul`` kernel
+(operands fake-quantized in-register per policy, fp32 tile accumulate)
+instead of separate fake-quant casts around a plain dot.  The backward
+pass issues two more engine matmuls with transpose bookkeeping — the
+same structure as the C-model's autograd (cmodel/simple.py:124-146) —
+with straight-through gradients w.r.t. the quantization.
+
+Interpret mode runs the same kernel on CPU (tests / non-TPU backends).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from fp8tpu.kernels.qmatmul import qdq_matmul
+from fp8tpu.numerics import scaling as _scaling
+from fp8tpu.numerics.formats import FORMATS
+from .config import ModuleQuantConfig, TensorQuantConfig
+
+
+def _fmt_args(cfg: Optional[TensorQuantConfig]):
+    if cfg is None:
+        return None, None
+    return cfg.dtype, cfg.round_mode
+
+
+def _operand_scale(x, cfg: Optional[TensorQuantConfig]):
+    """Per-tensor engine scale matching fake_quant's scaling grammar
+    (per-channel/grouped scales stay on the unpatched path)."""
+    if cfg is None or cfg.scaling == "none":
+        return 1.0
+    return _scaling.per_tensor(x, FORMATS[cfg.dtype], cfg.method)
+
+
+def _seed_of(key: Optional[jax.Array]):
+    if key is None:
+        return 0
+    return jax.random.randint(key, (), 0, 2**31 - 1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def patched_matmul(a: jax.Array, b: jax.Array,
+                   cfg: ModuleQuantConfig, interpret: bool = False,
+                   seed: int = 0) -> jax.Array:
+    """2-D ``qdq(a) @ qdq(b)`` through the fused engine kernel.
+
+    Both operands use the module's ``iact`` role config (the reference's
+    C-model runs under hooks that quantized inputs; batchmatmul policy
+    quantizes inputs only, e4m3_emu.py:124-129).
+    """
+    return _forward(a, b, cfg, interpret, seed)
+
+
+def _forward(a, b, cfg, interpret, seed):
+    fmt, mode = _fmt_args(cfg.iact)
+    out = qdq_matmul(a, b, fmt_x=fmt, mode_x=mode, fmt_w=fmt, mode_w=mode,
+                     scale_x=_operand_scale(a, cfg.iact),
+                     scale_w=_operand_scale(b, cfg.iact),
+                     seed=seed, out_dtype=jnp.float32, interpret=interpret)
+    return out.astype(a.dtype)
+
+
+def _fwd(a, b, cfg, interpret, seed):
+    return _forward(a, b, cfg, interpret, seed), (a, b)
+
+
+def _bwd(cfg, interpret, seed, res, g):
+    a, b = res
+    gf = g.astype(jnp.float32)
+    # Two engine matmuls, no re-quantization (the C-model's backward runs
+    # the plain tile engine, cmodel/simple.py:124-146); straight-through
+    # w.r.t. the in-kernel casts.
+    da = qdq_matmul(gf, b.astype(jnp.float32).T, fmt_x=None, fmt_w=None,
+                    interpret=interpret)
+    db = qdq_matmul(a.astype(jnp.float32).T, gf, fmt_x=None, fmt_w=None,
+                    interpret=interpret)
+    return da.astype(a.dtype), db.astype(b.dtype)
+
+
+patched_matmul.defvjp(_fwd, _bwd)
+
+
+def engine_matmul(a: jax.Array, b: jax.Array, cfg: ModuleQuantConfig,
+                  key: Optional[jax.Array] = None,
+                  interpret: Optional[bool] = None) -> jax.Array:
+    """Shape-polymorphic entry: 2-D direct; batched via flattening the
+    leading dims of ``a`` when ``b`` is 2-D, else per-slice (the C-model
+    stacks per-slice GEMMs for batch matmul, cmodel/simple.py:56-67)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    seed = _seed_of(key)
+    if a.ndim == 2 and b.ndim == 2:
+        return patched_matmul(a, b, cfg, interpret, seed)
+    if b.ndim == 2:
+        lead = a.shape[:-1]
+        out = patched_matmul(a.reshape(-1, a.shape[-1]), b, cfg, interpret,
+                             seed)
+        return out.reshape(*lead, b.shape[-1])
+    # batched x batched: flatten batch dims and map the 2-D engine.
+    batch = a.shape[:-2]
+    af = a.reshape((-1,) + a.shape[-2:])
+    bf = jnp.broadcast_to(b, batch + b.shape[-2:]).reshape(
+        (-1,) + b.shape[-2:])
+    fn = lambda x, y: patched_matmul(x, y, cfg, interpret, seed)
+    out = jax.lax.map(lambda ab: fn(*ab), (af, bf))
+    return out.reshape(batch + out.shape[-2:])

@@ -120,6 +120,7 @@ def make_quant_interceptor(
     key: Optional[jax.Array] = None,
     stats_sink: Optional[Dict[str, Dict[str, Any]]] = None,
     classify: Callable[[nn.Module], LayerKind] = classify_module,
+    per_channel_stats: bool = False,
 ):
     """Build an intercept_methods callback applying ``policy``.
 
@@ -128,7 +129,14 @@ def make_quant_interceptor(
                    recorded into it during tracing (the calibration sweep
                    — stats_collector.py observers, but as jit side
                    outputs rather than stateful submodules).
+    ``per_channel_stats`` additionally records last-axis per-channel
+                   min/max/absmax (ChannleWiseMinMaxStats,
+                   stats_collector.py:307-341).
     """
+
+    def _chan(a):
+        axes = tuple(range(a.ndim - 1))
+        return axes
 
     def interceptor(next_fun, args, kwargs, context):
         if context.method_name != "__call__":
@@ -160,7 +168,24 @@ def make_quant_interceptor(
                 rec["iact_absmax"] = jnp.maximum(
                     rec.get("iact_absmax", 0.0),
                     jnp.max(jnp.stack([jnp.max(jnp.abs(a)) for a in flat])))
+                if per_channel_stats:
+                    a0 = flat[0]
+                    rec["iact_ch_min"] = jnp.minimum(
+                        rec.get("iact_ch_min", jnp.inf),
+                        jnp.min(a0, axis=_chan(a0)))
+                    rec["iact_ch_max"] = jnp.maximum(
+                        rec.get("iact_ch_max", -jnp.inf),
+                        jnp.max(a0, axis=_chan(a0)))
+                    rec["iact_ch_absmax"] = jnp.maximum(
+                        rec.get("iact_ch_absmax", 0.0),
+                        jnp.max(jnp.abs(a0), axis=_chan(a0)))
 
+        patched = (cfg is not None and cfg.patch_ops
+                   and kind in (LayerKind.MATMUL, LayerKind.BATCH_MATMUL)
+                   and not kwargs)
+        # iact casts apply on the patched path too (the reference's
+        # hooks quantize inputs before the patched op runs; re-casting
+        # inside the engine is idempotent).
         if cfg is not None and cfg.iact is not None:
             args = _map_float_args(
                 lambda a: fake_quant(a, cfg.iact, mod_key(1)), args)
@@ -168,7 +193,18 @@ def make_quant_interceptor(
             args = _map_float_args(
                 lambda a: grad_cast(a, cfg.igrad, mod_key(2)), args)
 
-        out = next_fun(*args, **kwargs)
+        if patched:
+            # HW-patched path: the contraction runs through the fused
+            # Pallas engine with the iact casts done in-register
+            # (enable_hw_patching analog; qutils.py:480-509).
+            from .hw_patch import engine_matmul
+            if len(args) == 3:          # AddMatmul(inp, a, b)
+                out = args[0] + engine_matmul(args[1], args[2], cfg,
+                                              mod_key(5))
+            else:                       # Matmul / BatchMatmul (a, b)
+                out = engine_matmul(args[0], args[1], cfg, mod_key(5))
+        else:
+            out = next_fun(*args, **kwargs)
 
         if stats_sink is not None and _is_float_array(out):
             rec = stats_sink.setdefault(path, {"kind": kind.value})

@@ -90,6 +90,13 @@ class QuantPolicy:
         return dataclasses.replace(
             self, overrides=self.overrides + ((pattern, cfg),))
 
+    def with_hw_patching(self, enable: bool = True) -> "QuantPolicy":
+        """Route matmul-kind modules through the fused Pallas q-matmul
+        engine (the reference's enable_hw_patching, e4m3_emu.py:151-158 —
+        there a C-model GEMM; here the MXU via kernels.qmatmul)."""
+        return dataclasses.replace(
+            self, default=self.default.replace(patch_ops=enable))
+
     # -- resolution ------------------------------------------------------
     def resolve(self, path: str,
                 kind: LayerKind) -> Optional[ModuleQuantConfig]:

@@ -1,0 +1,80 @@
+"""HW-patched (fused-engine) matmul routing — the reference's C-model
+patching (qutils.py:478-509) as the Pallas q-matmul engine.
+
+Runs in interpreter mode on the CPU CI mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from fp8tpu.numerics import golden
+from fp8tpu.numerics.formats import FORMATS, RoundMode
+from fp8tpu.ops.wrappers import AddMatmul, Matmul
+from fp8tpu.quant.hw_patch import engine_matmul
+from fp8tpu.quant.config import ModuleQuantConfig, TensorQuantConfig
+from fp8tpu.quant.interceptor import quantized_apply
+from fp8tpu.quant.policy import e4m3_inference_policy
+
+
+CFG = ModuleQuantConfig(iact=TensorQuantConfig("e4m3", "rne"),
+                        patch_ops=True)
+
+
+def _ref_qdq(x):
+    return golden.cast_e4m3(np.asarray(x, np.float32), RoundMode.RNE)
+
+
+def test_engine_matmul_matches_qdq_then_dot(rng):
+    a = jnp.asarray(rng.standard_normal((16, 64)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    got = np.asarray(engine_matmul(a, b, CFG, interpret=True))
+    want = _ref_qdq(a) @ _ref_qdq(b)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_matmul_batched(rng):
+    a = jnp.asarray(rng.standard_normal((3, 8, 64)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((3, 64, 16)), jnp.float32)
+    got = np.asarray(engine_matmul(a, b, CFG, interpret=True))
+    want = np.stack([_ref_qdq(a[i]) @ _ref_qdq(b[i]) for i in range(3)])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_matmul_grad_flows(rng):
+    a = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((32, 8)), jnp.float32)
+
+    def loss(a, b):
+        return jnp.sum(engine_matmul(a, b, CFG, interpret=True) ** 2)
+
+    da, db = jax.grad(loss, argnums=(0, 1))(a, b)
+    # straight-through engine backward: dA = 2*out @ B^T on quantized fwd
+    out = np.asarray(engine_matmul(a, b, CFG, interpret=True))
+    np.testing.assert_allclose(np.asarray(da), 2 * out @ np.asarray(b).T,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(a).T @ (2 * out),
+                               rtol=1e-4, atol=1e-4)
+
+
+class TwoMatmuls(nn.Module):
+    @nn.compact
+    def __call__(self, x, w):
+        y = Matmul(name="mm")(x, w)
+        return AddMatmul(name="amm")(y, y, w.T)
+
+
+def test_policy_hw_patching_end_to_end(rng):
+    """with_hw_patching routes wrapper matmuls through the engine and
+    matches the unpatched quantize-around-dot numerics (same casts, fp32
+    accumulate)."""
+    x = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((16, 16)), jnp.float32)
+    m = TwoMatmuls()
+    variables = m.init(jax.random.key(0), x, w)
+
+    pol = e4m3_inference_policy(calibrated=False)
+    out_plain = quantized_apply(m, pol, variables, x, w)
+    out_patch = quantized_apply(m, pol.with_hw_patching(), variables, x, w)
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_patch),
+                               rtol=5e-3, atol=5e-3)
