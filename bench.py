@@ -17,6 +17,7 @@ and dispatched asynchronously; one host readback at the end closes the
 window.  This measures steady-state decode, not dispatch latency.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -29,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fp8tpu.models import DecoderConfig
-from fp8tpu.serve import KVCache, ServeConfig
+from fp8tpu.serve import RingKVCache, ServeConfig
 from fp8tpu.serve.model import decode_steps, random_serve_params
 
 # ~3B params (7B-class serving workload scaled to one v5e chip's HBM so
@@ -41,7 +42,7 @@ CFG = DecoderConfig(vocab_size=32768, d_model=4096, n_layers=16,
 BATCH = 64
 CACHE_LEN = 512
 STEPS = 32
-WARM_POS = 256      # decode from a warm cache position
+WARM_POS = 476      # decode at near-full context (len 476->508 of 512)
 
 
 def make_params(fmt: str):
@@ -55,9 +56,12 @@ def bench_variant(fmt: str, kv_fmt: str) -> float:
     scfg = ServeConfig(model=CFG, weight_fmt=fmt, kv_fmt=kv_fmt,
                        embed_fmt=fmt)
     params = make_params(fmt)
-    cache = KVCache.create(CFG.n_layers, BATCH, CACHE_LEN, CFG.n_kv_heads,
-                           CFG.head_dim, kv_fmt)
+    cache = RingKVCache.create(CFG.n_layers, BATCH, CACHE_LEN,
+                               CFG.n_kv_heads, CFG.head_dim, kv_fmt)
     tokens = jnp.ones((BATCH,), jnp.int32)
+    # Warm context: slots behave as if WARM_POS tokens were already
+    # decoded (ring rows behind the head are masked valid).
+    cache = dataclasses.replace(cache, head=jnp.int32(WARM_POS))
     pos0 = jnp.full((BATCH,), WARM_POS, jnp.int32)
     temp = jnp.zeros((BATCH,), jnp.float32)  # greedy
     key = jax.random.key(0)

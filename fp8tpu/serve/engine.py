@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .kv_cache import KVCache
+from .kv_cache import RingKVCache
 from .model import ServeConfig, decode_step, decode_steps, prefill
 
 
@@ -61,8 +61,9 @@ class ServingEngine:
         # Steps decoded per dispatch (on-device sampling); host re-enters
         # between chunks for admission / EOS retirement.
         self.chunk_size = chunk_size
-        self.cache = KVCache.create(m.n_layers, n_slots, self.max_seq,
-                                    m.n_kv_heads, m.head_dim, cfg.kv_fmt)
+        self.cache = RingKVCache.create(m.n_layers, n_slots, self.max_seq,
+                                        m.n_kv_heads, m.head_dim,
+                                        cfg.kv_fmt)
         self.slots: List[Optional[_SlotState]] = [None] * n_slots
         self.queue: List[Request] = []
         self.finished: Dict[int, List[int]] = {}
@@ -88,8 +89,9 @@ class ServingEngine:
     # -- scheduler -------------------------------------------------------
     def _chunk_len(self) -> int:
         active = [s for s in self.slots if s is not None]
-        budget = min(min(s.remaining for s in active),
-                     self.max_seq - 1 - max(s.pos for s in active))
+        # The ring cache wraps: context beyond max_seq slides (per-slot
+        # window), so only the generation budget bounds the chunk.
+        budget = min(s.remaining for s in active)
         # Bucket to powers of two so only a few n_steps programs compile.
         chunk = 1
         while chunk * 2 <= min(budget, self.chunk_size):

@@ -51,6 +51,55 @@ def quantize_kv(x: jax.Array, fmt: str = "e4m3"):
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class RingKVCache:
+    """Ring-buffer FP8 KV cache — the serving decode's primary cache.
+
+    One globally-shared write head: decode step g writes EVERY slot's
+    fresh k/v at physical row ``g mod S``, so the whole step's cache
+    update is a single contiguous slab store (via the aliasing
+    ``dyn_store`` kernel) — no per-slot scatter, no staging buffer, no
+    chunk merge.  A slot's token written at step g is overwritten exactly
+    S steps later by its own next write, so each slot keeps its most
+    recent S tokens: per-slot sliding-window semantics with window S
+    (slots must write every step while active; the engine guarantees
+    this).  Validity per slot is ``(head - 1 - row) mod S < len`` with
+    ``len = min(position, S)``.
+
+    Layouts keep every trailing dim tile-aligned (fp8 sublane tile is 32
+    — a bare KV dim would be 4x padded in HBM):
+
+      kv8 (S, 2, L, B*KV, D)  fp8/bf16 payloads, k at index 0, v at 1
+      sc  (S, 2, L, B*KV)     f32 per-head-vector scales
+      head ()                 int32 next write row
+    """
+
+    kv8: jax.Array
+    sc: jax.Array
+    head: jax.Array
+
+    @staticmethod
+    def create(n_layers: int, n_slots: int, max_seq: int, kv_heads: int,
+               head_dim: int, fmt: str = "e4m3") -> "RingKVCache":
+        dt = _FP8_DTYPES[fmt]
+        bk = n_slots * kv_heads
+        return RingKVCache(
+            kv8=jnp.zeros((max_seq, 2, n_layers, bk, head_dim), dt),
+            sc=jnp.ones((max_seq, 2, n_layers, bk), jnp.float32),
+            head=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def fmt(self) -> str:
+        return {jnp.float8_e4m3fn: "e4m3", jnp.float8_e5m2: "e5m2",
+                jnp.bfloat16: "bf16"}[jnp.dtype(self.kv8.dtype).type]
+
+    @property
+    def max_seq(self) -> int:
+        return self.kv8.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class KVCache:
     """Contiguous-slot FP8 KV cache.
 

@@ -1,15 +1,27 @@
-"""Production serving decoder: FP8 weights + FP8 KV cache.
+"""Production serving decoder: FP8 weights + FP8 ring KV cache.
 
 This is the *real-quantization* twin of :class:`fp8tpu.models.Decoder`:
 weights live in HBM as fp8 payloads with per-output-channel scales
 (:func:`fp8tpu.kernels.quantize_weights`), the KV cache stores fp8 with
-per-head-vector scales, and a whole decode step for all layers compiles
-into one XLA computation (lax.scan over stacked layer params — weight
-streaming pipelines across layers).
+per-head-vector scales in a ring buffer (:class:`RingKVCache`), and a
+whole decode chunk (n steps x all layers, with on-device sampling)
+compiles into one XLA computation.
 
-Decode attention consumes the fp8 cache directly: scales factor out of
-the dots (q·(k·s) = (q·k)·s), so the cache is never expanded to bf16 in
-HBM.  Every slot has its own position (continuous batching).
+Design notes (all profiled on a v5e chip):
+
+* The ring cache makes each step's cache update ONE contiguous
+  leading-index slab store, which XLA performs in place.  The previous
+  design (contiguous per-slot regions + staged chunk + merge) spent
+  ~1.4 ms/step at 3B scale on staging-buffer copies, per-slot merge
+  scatters and chunk epilogues — all structurally eliminated here.
+* Decode attention consumes the fp8 cache directly: per-vector scales
+  factor out of the dots (q·(k·s) = (q·k)·s), so the cache is never
+  expanded to bf16 in HBM.  Flash-style partials: the cached prefix and
+  the fresh token produce unnormalized exp-sums that are combined and
+  normalized once on the (B,KV,G,D) context.
+* Every slot has its own position (continuous batching); masking is
+  ``(head - 1 - row) mod S < min(position, S)`` — per-slot sliding
+  window of the ring size.
 """
 
 from __future__ import annotations
@@ -21,11 +33,13 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from fp8tpu.kernels.inplace import dyn_store
 from fp8tpu.kernels.qmatmul import quantize_weights
 from fp8tpu.models.transformer import DecoderConfig, rope_freqs
-from .kv_cache import KVCache, quantize_kv
+from .kv_cache import RingKVCache, quantize_kv
 
 _FP8_DTYPES = {"e4m3": jnp.float8_e4m3fn, "e5m2": jnp.float8_e5m2}
+_NEG = -1e30  # finite mask value keeps exp() NaN-free for empty slots
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,14 +55,16 @@ class ServeConfig:
     # payloads (the reference's block_norm embedding mode,
     # e5m2_emu.py:119-137, row = block).
     embed_fmt: str = "bf16"
-    # In-place staged-buffer writes: "pallas" aliases buffers via the
-    # dyn_store kernel (TPU), "xla" uses dynamic_update_slice (CPU).
+    # Ring-write implementation.  "xla" (dynamic_update_slice) is the
+    # default: with the ring structure (single leading-index write per
+    # step) XLA updates the carry in place.  "pallas" routes through the
+    # aliasing dyn_store kernel — measured SLOWER here because XLA
+    # inserts a layout/copy before every aliased custom call (1 GB ring
+    # copied per step); kept for layouts where XLA's DUS copies instead.
     staging_impl: str = "auto"
 
 
-def _staging_pallas(cfg: "ServeConfig") -> bool:
-    if cfg.staging_impl == "auto":
-        return jax.default_backend() == "tpu"
+def _use_pallas_store(cfg: "ServeConfig") -> bool:
     return cfg.staging_impl == "pallas"
 
 
@@ -191,165 +207,77 @@ def random_serve_params(cfg: DecoderConfig, fmt: str = "e4m3",
     return out
 
 
-def _attend_decode(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs, positions,
-                   cfg: DecoderConfig):
-    """Single-token attention: cached fp8 prefix + the fresh token.
+def _layer_xs(params):
+    return (params["attn_norm"], params["mlp_norm"],
+            params["q8"], params["qs"], params["k8"], params["ks"],
+            params["v8"], params["vs"], params["o8"], params["os"],
+            params["gate8"], params["gates"], params["up8"], params["ups"],
+            params["down8"], params["downs"])
 
-    Delegates to :func:`_attend_chunked` with an empty (fully masked)
-    staged chunk — the masked terms contribute exact +0.0 everywhere, so
-    stepwise decode is BIT-IDENTICAL to the first token of a chunked
-    decode (the engine mixes both paths and the chunked-vs-stepwise
-    tests rely on trajectory equality).
 
-    q: (B, H, D) bf16; kq8/vq8: (B, KV, D) fp8 with scales kqs/vqs (B,KV);
-    k8/v8: (B, KV, S, D) fp8; ks/vs: (B, KV, S) f32;
-    positions: (B,) — cached entries are valid at s < position.
+def _attend_ring(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs, head, lens,
+                 cfg: DecoderConfig):
+    """Flash-style decode attention: ring-cached prefix + fresh token.
+
+    q: (B,H,D) bf16 (the 1/sqrt(D) factor is applied here);
+    fresh kq8/vq8: (B,KV,D) with scales kqs/vqs (B,KV);
+    ring k8/v8: (S, B*KV, D) with scales ks/vs (S, B*KV);
+    head: () int32 next write row; lens: (B,) valid lengths.
+    Unnormalized partials for both parts are combined and divided ONCE
+    on the (B,KV,G,D) context.
     """
-    B = q.shape[0]
-    KV, D = k8.shape[1], k8.shape[3]
-    kv_dt = k8.dtype
-    rk8 = jnp.zeros((1, B * KV, D), kv_dt)
-    rv8 = jnp.zeros((1, B * KV, D), kv_dt)
-    rks = jnp.zeros((1, B * KV), jnp.float32)
-    rvs = jnp.zeros((1, B * KV), jnp.float32)
-    return _attend_chunked(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs,
-                           rk8, rks, rv8, rvs, positions, jnp.int32(0),
-                           cfg)
+    B, H, D = q.shape
+    S, BK, _ = k8.shape
+    KV = kq8.shape[1]
+    G = H // KV
+    qg = (q.astype(jnp.float32)
+          / jnp.sqrt(D).astype(jnp.float32)).astype(q.dtype)
+    qf = qg.reshape(BK, G, D)
+
+    scores = jnp.einsum(
+        "xgd,sxd->xgs", qf, k8.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, KV, G, S) * ks.T.reshape(B, KV, 1, S)
+    # Ring validity: row s holds a token (head - 1 - s) mod S steps old.
+    age = jnp.mod(head - 1 - jnp.arange(S), S)              # (S,)
+    mask = age[None, :] < lens[:, None]                     # (B, S)
+    scores = jnp.where(mask[:, None, None, :], scores, _NEG)
+
+    score_self = jnp.einsum(
+        "bkgd,bkd->bkg", qg.reshape(B, KV, G, D), kq8.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * kqs[:, :, None]                                     # (B,KV,G)
+
+    m = jnp.maximum(jnp.max(scores, axis=-1), score_self)
+    pc = jnp.exp(scores - m[..., None])
+    ps = jnp.exp(score_self - m)
+    l = pc.sum(-1) + ps
+
+    pcs = (pc * vs.T.reshape(B, KV, 1, S)).astype(q.dtype)
+    ctx = jnp.einsum(
+        "xgs,sxd->xgd", pcs.reshape(BK, G, S), v8.astype(q.dtype),
+        preferred_element_type=jnp.float32).reshape(B, KV, G, D)
+    ctx = ctx + ((ps * vqs[:, :, None])[..., None]
+                 * vq8.astype(jnp.float32)[:, :, None, :])
+    ctx = ctx / l[..., None]
+    return ctx.reshape(B, H * D).astype(q.dtype)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def decode_step(params: Dict, cache: KVCache, tokens: jax.Array,
-                positions: jax.Array, cfg: ServeConfig
-                ) -> Tuple[jax.Array, KVCache]:
-    """One decode step for all slots.
-
-    tokens: (B,) int32; positions: (B,) int32 per-slot write positions.
-    Returns (logits (B, V) f32, updated cache).  The input cache is
-    DONATED — its buffers are updated in place; keep using the returned
-    cache only.
-    """
-    return _decode_step_impl(params, cache, tokens, positions, cfg)
-
-
-def _decode_step_impl(params: Dict, cache: KVCache, tokens: jax.Array,
-                      positions: jax.Array, cfg: ServeConfig
-                      ) -> Tuple[jax.Array, KVCache]:
+def _steps_impl(params: Dict, ring: RingKVCache, tokens: jax.Array,
+                positions: jax.Array, key: jax.Array,
+                temperature: jax.Array, n_steps: int, cfg: ServeConfig,
+                want_logits: bool):
     mcfg = cfg.model
     H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
     B = tokens.shape[0]
-    impl = cfg.matmul_impl
-
-    h = _embed_lookup(params, tokens)                     # (B, Dm)
-    inv_freq = rope_freqs(mcfg)
-    ang = positions[:, None].astype(jnp.float32) * inv_freq  # (B, D/2)
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
-
-    def rope1(x):  # (B, n, D)
-        x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
-        c, s = cos[:, None], sin[:, None]
-        return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
-                               axis=-1).astype(x.dtype)
-
-    def layer_step(carry, xs):
-        h, li = carry
-        (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
-         gate8, gates, up8, ups, down8, downs) = xs
-
-        x = _rms(h, attn_norm, mcfg.norm_eps)
-        q = fp8_linear(x, q8, qs, impl).reshape(B, H, D)
-        k = fp8_linear(x, k8w, ksw, impl).reshape(B, KV, D)
-        v = fp8_linear(x, v8w, vsw, impl).reshape(B, KV, D)
-        q, k = rope1(q), rope1(k)
-
-        # Quantize the fresh token first and attend its *quantized* form
-        # — identical numerics to reading it back from the cache, keeping
-        # stepwise and chunked decode consistent.
-        kq8, kqs = quantize_kv(k, cfg.kv_fmt)
-        vq8, vqs = quantize_kv(v, cfg.kv_fmt)
-
-        # Attend against the pre-step cache + the fresh token; the cache
-        # write for all layers happens in ONE scatter after the scan
-        # (in-scan scatters cost ~20% of the step, measured).
-        ctx = _attend_decode(q, kq8, kqs[..., 0], vq8, vqs[..., 0],
-                             cache.k8[li], cache.k_scale[li],
-                             cache.v8[li], cache.v_scale[li], positions,
-                             mcfg)
-        h = h + fp8_linear(ctx, o8, osw, impl)
-
-        x = _rms(h, mlp_norm, mcfg.norm_eps)
-        act = jax.nn.silu(fp8_linear(x, gate8, gates, impl).astype(
-            jnp.float32)).astype(x.dtype) * fp8_linear(x, up8, ups, impl)
-        h = h + fp8_linear(act, down8, downs, impl)
-
-        return (h, li + 1), (kq8, kqs[..., 0], vq8, vqs[..., 0])
-
-    xs = (params["attn_norm"], params["mlp_norm"],
-          params["q8"], params["qs"], params["k8"], params["ks"],
-          params["v8"], params["vs"], params["o8"], params["os"],
-          params["gate8"], params["gates"], params["up8"], params["ups"],
-          params["down8"], params["downs"])
-    h = h.astype(jnp.bfloat16)
-    (h, _), (kq8, kqs, vq8, vqs) = jax.lax.scan(
-        layer_step, (h, jnp.int32(0)), xs)
-
-    # One scatter writes every layer's new token.  With separated advanced
-    # indices the broadcast (B,) dim lands first: value shape (B,L,KV,·).
-    bidx = jnp.arange(B)
-    ck8 = cache.k8.at[:, bidx, :, positions].set(kq8.transpose(1, 0, 2, 3))
-    cv8 = cache.v8.at[:, bidx, :, positions].set(vq8.transpose(1, 0, 2, 3))
-    cks = cache.k_scale.at[:, bidx, :, positions].set(
-        kqs.transpose(1, 0, 2))
-    cvs = cache.v_scale.at[:, bidx, :, positions].set(
-        vqs.transpose(1, 0, 2))
-
-    h = _rms(h, params["final_norm"], mcfg.norm_eps)
-    logits = _lm_head(params, h)
-    return logits, KVCache(ck8, cv8, cks, cvs)
-
-
-@partial(jax.jit, static_argnames=("cfg", "n_steps"),
-         donate_argnames=("cache",))
-def decode_steps(params: Dict, cache: KVCache, tokens: jax.Array,
-                 positions: jax.Array, key: jax.Array,
-                 temperature: jax.Array, n_steps: int, cfg: ServeConfig
-                 ) -> Tuple[jax.Array, KVCache]:
-    """``n_steps`` decode steps with on-device sampling in ONE compiled
-    program — amortizes dispatch and lets XLA pipeline across steps
-    (host only re-enters for admission/retirement between chunks).
-
-    The chunk's fresh k/v are staged in a step-major buffer whose writes
-    are large contiguous slabs (per-token scatters into the big cache cost
-    ~100ns per 128-byte fragment — measured 4 ms/step at 16×32×16 heads);
-    attention covers cached prefix + staged chunk, and the staging buffer
-    merges into the cache ONCE per chunk.
-
-    temperature: (B,) float32, 0 → greedy.
-    Returns (sampled tokens (B, n_steps), cache).
-    """
-    mcfg = cfg.model
-    H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
-    B = tokens.shape[0]
-    L = mcfg.n_layers
-    impl = cfg.matmul_impl
-    kv_dt = cache.k8.dtype
-    inv_freq = rope_freqs(mcfg)
-
-    # Step-major staging: (T, 2, L, B*KV, D) — k and v packed so each
-    # step issues ONE slab write per buffer, with the (B, KV) dims
-    # flattened to keep every trailing dim tile-aligned (fp8's sublane
-    # tile is 32; a bare KV=8 dim would be 4x-padded in HBM and every
-    # read/write would pay a relayout copy).  Writes go through the
-    # aliasing dyn_store kernel on TPU: a plain dynamic_update_slice on
-    # a carry that the layer scan also reads makes XLA copy the whole
-    # buffer every step (~0.5 ms/step at 3B scale, profiled).
-    use_pallas = _staging_pallas(cfg)
+    S = ring.max_seq
     BK = B * KV
-    rkv8 = jnp.zeros((n_steps, 2, L, BK, D), kv_dt)
-    rsc = jnp.zeros((n_steps, 2, L, BK), jnp.float32)
+    impl = cfg.matmul_impl
+    use_pallas = _use_pallas_store(cfg)
+    inv_freq = rope_freqs(mcfg)
 
-    def one(carry, step_in):
-        toks, pos, rkv8, rsc, t = carry
-        step_key = step_in
+    def one(carry, step_key):
+        toks, pos, kv8, sc, head = carry
         h = _embed_lookup(params, toks)
 
         ang = pos[:, None].astype(jnp.float32) * inv_freq
@@ -360,6 +288,8 @@ def decode_steps(params: Dict, cache: KVCache, tokens: jax.Array,
             c, s = cos[:, None], sin[:, None]
             return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
                                    axis=-1).astype(x.dtype)
+
+        lens = jnp.minimum(pos, S)
 
         def layer_step(lcarry, xs):
             h, li = lcarry
@@ -374,17 +304,11 @@ def decode_steps(params: Dict, cache: KVCache, tokens: jax.Array,
 
             kq8, kqs = quantize_kv(k, cfg.kv_fmt)
             vq8, vqs = quantize_kv(v, cfg.kv_fmt)
-            kqs0, vqs0 = kqs[..., 0], vqs[..., 0]
 
-            # Attend: cached prefix + staged chunk (t' < t) + the fresh
-            # token itself (local, never read back from staging).
-            ctx = _attend_chunked(
-                q, kq8, kqs0, vq8, vqs0,
-                cache.k8[li], cache.k_scale[li], cache.v8[li],
-                cache.v_scale[li], rkv8[:, 0, li], rsc[:, 0, li],
-                rkv8[:, 1, li], rsc[:, 1, li], positions, t, mcfg)
-            kq8, vq8 = kq8.reshape(BK, D), vq8.reshape(BK, D)
-            kqs, vqs = kqs.reshape(BK), vqs.reshape(BK)
+            ctx = _attend_ring(q, kq8, kqs[..., 0], vq8, vqs[..., 0],
+                               kv8[:, 0, li], sc[:, 0, li],
+                               kv8[:, 1, li], sc[:, 1, li], head, lens,
+                               mcfg)
             h = h + fp8_linear(ctx, o8, osw, impl)
 
             x = _rms(h, mlp_norm, mcfg.norm_eps)
@@ -392,22 +316,31 @@ def decode_steps(params: Dict, cache: KVCache, tokens: jax.Array,
                 jnp.float32)).astype(x.dtype) * fp8_linear(x, up8, ups,
                                                            impl)
             h = h + fp8_linear(act, down8, downs, impl)
-            return (h, li + 1), (kq8, kqs, vq8, vqs)
+            return (h, li + 1), (kq8.reshape(BK, D), kqs.reshape(BK),
+                                 vq8.reshape(BK, D), vqs.reshape(BK))
 
-        xs = (params["attn_norm"], params["mlp_norm"],
-              params["q8"], params["qs"], params["k8"], params["ks"],
-              params["v8"], params["vs"], params["o8"], params["os"],
-              params["gate8"], params["gates"], params["up8"],
-              params["ups"], params["down8"], params["downs"])
         (h, _), (fk8, fks, fv8, fvs) = jax.lax.scan(
-            layer_step, (h, jnp.int32(0)), xs)
+            layer_step, (h, jnp.int32(0)), _layer_xs(params))
 
-        # One packed slab write per buffer per step at index t.
-        from fp8tpu.kernels.inplace import dyn_store
-        rkv8 = dyn_store(rkv8, jnp.stack([fk8, fv8]), t,
-                         use_pallas=use_pallas)
-        rsc = dyn_store(rsc, jnp.stack([fks, fvs]), t,
-                        use_pallas=use_pallas)
+        # Contiguous slab stores at the ring head (k and v written
+        # directly — stacking them first costs a relayout copy).
+        if use_pallas:
+            kv8 = dyn_store(kv8, jnp.stack([fk8, fv8]), head,
+                            use_pallas=True)
+            sc = dyn_store(sc, jnp.stack([fks, fvs]), head,
+                           use_pallas=True)
+        else:
+            z = jnp.zeros((), jnp.int32)
+            kv8 = jax.lax.dynamic_update_slice(
+                kv8, fk8[None, None].astype(kv8.dtype), (head, z, z, z, z))
+            kv8 = jax.lax.dynamic_update_slice(
+                kv8, fv8[None, None].astype(kv8.dtype),
+                (head, jnp.int32(1), z, z, z))
+            sc = jax.lax.dynamic_update_slice(
+                sc, fks[None, None], (head, z, z, z))
+            sc = jax.lax.dynamic_update_slice(
+                sc, fvs[None, None], (head, jnp.int32(1), z, z))
+        head = jnp.mod(head + 1, S)
 
         h = _rms(h, params["final_norm"], mcfg.norm_eps)
         logits = _lm_head(params, h)
@@ -416,188 +349,130 @@ def decode_steps(params: Dict, cache: KVCache, tokens: jax.Array,
         sampled = jax.random.categorical(step_key, scaled,
                                          axis=-1).astype(jnp.int32)
         nxt = jnp.where(temperature > 0, sampled, greedy)
-        return (nxt, pos + 1, rkv8, rsc, t + 1), nxt
+        out = logits if want_logits else nxt
+        return (nxt, pos + 1, kv8, sc, head), out
 
     keys = jax.random.split(key, n_steps)
-    (_, _, rkv8, rsc, _), toks = jax.lax.scan(
-        one, (tokens, positions, rkv8, rsc, jnp.int32(0)), keys)
-
-    # Merge the staged chunk into the cache: per-slot contiguous
-    # (L, KV, T, D) slabs at each slot's start position.
-    rk8u = rkv8[:, 0].reshape(n_steps, L, B, KV, D)
-    rv8u = rkv8[:, 1].reshape(n_steps, L, B, KV, D)
-    mk8 = rk8u.transpose(2, 1, 3, 0, 4)         # (B, L, KV, T, D)
-    mv8 = rv8u.transpose(2, 1, 3, 0, 4)
-    mks = rsc[:, 0].reshape(n_steps, L, B, KV).transpose(2, 1, 3, 0)
-    mvs = rsc[:, 1].reshape(n_steps, L, B, KV).transpose(2, 1, 3, 0)
-
-    def write_slot(b, arrs):
-        ck8, cv8, cks, cvs = arrs
-        z = jnp.zeros((), jnp.int32)
-        p = positions[b]
-        ck8 = jax.lax.dynamic_update_slice(
-            ck8, mk8[b][:, None], (z, b, z, p, z))
-        cv8 = jax.lax.dynamic_update_slice(
-            cv8, mv8[b][:, None], (z, b, z, p, z))
-        cks = jax.lax.dynamic_update_slice(
-            cks, mks[b][:, None], (z, b, z, p))
-        cvs = jax.lax.dynamic_update_slice(
-            cvs, mvs[b][:, None], (z, b, z, p))
-        return ck8, cv8, cks, cvs
-
-    ck8, cv8, cks, cvs = jax.lax.fori_loop(
-        0, B, write_slot,
-        (cache.k8, cache.v8, cache.k_scale, cache.v_scale))
-    return toks.T, KVCache(ck8, cv8, cks, cvs)
+    (_, _, kv8, sc, head), outs = jax.lax.scan(
+        one, (tokens, positions, ring.kv8, ring.sc, ring.head), keys)
+    return outs, RingKVCache(kv8, sc, head)
 
 
-_NEG = -1e30  # finite mask value keeps exp() NaN-free for empty slots
+@partial(jax.jit, static_argnames=("cfg", "n_steps"),
+         donate_argnames=("ring",))
+def decode_steps(params: Dict, ring: RingKVCache, tokens: jax.Array,
+                 positions: jax.Array, key: jax.Array,
+                 temperature: jax.Array, n_steps: int, cfg: ServeConfig
+                 ) -> Tuple[jax.Array, RingKVCache]:
+    """``n_steps`` decode steps with on-device sampling in ONE compiled
+    program — amortizes dispatch; the host re-enters only for admission /
+    retirement between chunks.  temperature: (B,) f32, 0 → greedy.
+    The input ring is DONATED.  Returns (sampled tokens (B, n_steps),
+    ring)."""
+    toks, ring = _steps_impl(params, ring, tokens, positions, key,
+                             temperature, n_steps, cfg, want_logits=False)
+    return toks.T, ring
 
 
-def _attend_chunked(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs, rk8, rks, rv8,
-                    rvs, chunk_start, t, cfg: DecoderConfig):
-    """Decode attention over (cached prefix) + (staged chunk < t) + the
-    fresh token itself, flash-style: unnormalized exp-partials everywhere
-    and ONE division on the (B,KV,G,D) context — not on the (·,S+T)-wide
-    probabilities (the softmax divide over the concat was ~6 µs/layer).
-
-    q: (B,H,D); fresh kq8/vq8: (B,KV,D) with scales kqs/vqs (B,KV);
-    cache k8/v8: (B,KV,S,D) with scales (B,KV,S), valid at s <
-    chunk_start; staged rk8/rv8: (T,B*KV,D) with scales (T,B*KV) — the
-    (B,KV) dims arrive flattened to keep staging buffers tile-aligned —
-    valid at tt < t (the current token attends its local quantized form,
-    identical numerics to reading it back from staging).
-    """
-    B, H, D = q.shape
-    KV, S = k8.shape[1], k8.shape[2]
-    T = rk8.shape[0]
-    G = H // KV
-    qg = (q.astype(jnp.float32)
-          / jnp.sqrt(D).astype(jnp.float32)).astype(q.dtype)
-    qg = qg.reshape(B, KV, G, D)
-
-    scores_c = jnp.einsum(
-        "bkgd,bksd->bkgs", qg, k8.astype(q.dtype),
-        preferred_element_type=jnp.float32,
-    ) * ks[:, :, None, :]
-    mask_c = jnp.arange(S)[None, :] < chunk_start[:, None]
-    scores_c = jnp.where(mask_c[:, None, None, :], scores_c, _NEG)
-
-    scores_r = jnp.einsum(
-        "xgd,txd->xgt", qg.reshape(B * KV, G, D), rk8.astype(q.dtype),
-        preferred_element_type=jnp.float32,
-    ).reshape(B, KV, G, T) * rks.T.reshape(B, KV, 1, T)
-    mask_r = jnp.arange(T) < t
-    scores_r = jnp.where(mask_r[None, None, None, :], scores_r, _NEG)
-
-    score_self = jnp.einsum(
-        "bkgd,bkd->bkg", qg, kq8.astype(q.dtype),
-        preferred_element_type=jnp.float32,
-    ) * kqs[:, :, None]                                     # (B,KV,G)
-
-    m = jnp.maximum(
-        jnp.maximum(jnp.max(scores_c, axis=-1), jnp.max(scores_r, axis=-1)),
-        score_self)                                         # (B,KV,G)
-    pc = jnp.exp(scores_c - m[..., None])
-    pr = jnp.exp(scores_r - m[..., None])
-    ps = jnp.exp(score_self - m)
-    l = pc.sum(-1) + pr.sum(-1) + ps                        # (B,KV,G)
-
-    pcs = (pc * vs[:, :, None, :]).astype(q.dtype)
-    prs = (pr * rvs.T.reshape(B, KV, 1, T)).astype(q.dtype)
-    ctx = jnp.einsum("bkgs,bksd->bkgd", pcs, v8.astype(q.dtype),
-                     preferred_element_type=jnp.float32)
-    ctx = ctx + jnp.einsum(
-        "xgt,txd->xgd", prs.reshape(B * KV, G, T), rv8.astype(q.dtype),
-        preferred_element_type=jnp.float32).reshape(B, KV, G, D)
-    ctx = ctx + ((ps * vqs[:, :, None])[..., None]
-                 * vq8.astype(jnp.float32)[:, :, None, :])
-    ctx = ctx / l[..., None]
-    return ctx.reshape(B, H * D).astype(q.dtype)
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("ring",))
+def decode_step(params: Dict, ring: RingKVCache, tokens: jax.Array,
+                positions: jax.Array, cfg: ServeConfig
+                ) -> Tuple[jax.Array, RingKVCache]:
+    """One decode step for all slots; returns (logits (B, V) f32, ring).
+    Numerically identical to one step of :func:`decode_steps` (shared
+    implementation)."""
+    logits, ring = _steps_impl(
+        params, ring, tokens, positions, jax.random.key(0),
+        jnp.zeros(tokens.shape, jnp.float32), 1, cfg, want_logits=True)
+    return logits[0], ring
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def prefill(params: Dict, cache: KVCache, tokens: jax.Array,
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("ring",))
+def prefill(params: Dict, ring: RingKVCache, tokens: jax.Array,
             slot: jax.Array, length: jax.Array, cfg: ServeConfig
-            ) -> Tuple[jax.Array, KVCache]:
-    """Prefill one slot with a right-padded (S,) prompt of true length
-    ``length``; returns (logits at the last valid token, updated cache).
-    Positions ≥ length hold garbage k/v but are overwritten by decode
-    before the per-slot mask ever exposes them."""
+            ) -> Tuple[jax.Array, RingKVCache]:
+    """Prefill one slot with a right-padded (S_p,) prompt of true length
+    ``length``; returns (logits at the last valid token, ring).
+
+    The prompt's k/v land at ring rows ``(head - length + i) mod S`` so
+    the slot's context is exactly its last ``length`` rows.  Rows at
+    index >= length (padding) land at/after ``head``; the per-slot mask
+    hides them until the slot's own decode writes overwrite them."""
     mcfg = cfg.model
     H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
-    S = tokens.shape[0]
+    Sp = tokens.shape[0]
+    S = ring.max_seq
     impl = cfg.matmul_impl
 
-    h = _embed_lookup(params, tokens)                     # (S, Dm)
+    h = _embed_lookup(params, tokens)                     # (Sp, Dm)
     inv_freq = rope_freqs(mcfg)
-    pos = jnp.arange(S)
+    pos = jnp.arange(Sp)
     ang = pos[:, None].astype(jnp.float32) * inv_freq
     cos, sin = jnp.cos(ang), jnp.sin(ang)
 
-    def rope1(x):  # (S, n, D)
+    def rope1(x):  # (Sp, n, D)
         x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
         c, s = cos[:, None], sin[:, None]
         return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
                                axis=-1).astype(x.dtype)
 
-    causal = pos[None, :] <= pos[:, None]                 # (S, S)
+    causal = pos[None, :] <= pos[:, None]                 # (Sp, Sp)
 
     def layer_step(carry, xs):
-        h, ck8, cv8, cks, cvs, li = carry
+        h, li = carry
         (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
          gate8, gates, up8, ups, down8, downs) = xs
 
         x = _rms(h, attn_norm, mcfg.norm_eps)
-        q = fp8_linear(x, q8, qs, impl).reshape(S, H, D)
-        k = fp8_linear(x, k8w, ksw, impl).reshape(S, KV, D)
-        v = fp8_linear(x, v8w, vsw, impl).reshape(S, KV, D)
+        q = fp8_linear(x, q8, qs, impl).reshape(Sp, H, D)
+        k = fp8_linear(x, k8w, ksw, impl).reshape(Sp, KV, D)
+        v = fp8_linear(x, v8w, vsw, impl).reshape(Sp, KV, D)
         q, k = rope1(q), rope1(k)
 
         kq8, kqs = quantize_kv(k, cfg.kv_fmt)
         vq8, vqs = quantize_kv(v, cfg.kv_fmt)
-        z = jnp.zeros((), jnp.int32)
-        # (S, KV, ·) → cache layout (KV, S, ·).
-        ck8 = jax.lax.dynamic_update_slice(
-            ck8, kq8.transpose(1, 0, 2)[None, None], (li, slot, z, z, z))
-        cv8 = jax.lax.dynamic_update_slice(
-            cv8, vq8.transpose(1, 0, 2)[None, None], (li, slot, z, z, z))
-        cks = jax.lax.dynamic_update_slice(
-            cks, kqs[..., 0].T[None, None], (li, slot, z, z))
-        cvs = jax.lax.dynamic_update_slice(
-            cvs, vqs[..., 0].T[None, None], (li, slot, z, z))
 
         # Dense causal attention on the fresh (bf16) K/V — prefill is
-        # compute-bound; the cache write above is for later decode reads.
+        # compute-bound; the ring writes below are for later decode.
         G = H // KV
-        qg = q.reshape(S, KV, G, D)
+        qg = q.reshape(Sp, KV, G, D)
         scores = jnp.einsum("skgd,tkd->skgt", qg.astype(jnp.float32),
                             k.astype(jnp.float32)) / jnp.sqrt(D)
-        scores = jnp.where(causal[:, None, None, :], scores,
-                           jnp.finfo(jnp.float32).min)
+        scores = jnp.where(causal[:, None, None, :], scores, _NEG)
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("skgt,tkd->skgd", probs, v.astype(jnp.float32))
-        ctx = ctx.reshape(S, H * D).astype(jnp.bfloat16)
+        ctx = ctx.reshape(Sp, H * D).astype(jnp.bfloat16)
         h = h + fp8_linear(ctx, o8, osw, impl)
 
         x = _rms(h, mlp_norm, mcfg.norm_eps)
         act = jax.nn.silu(fp8_linear(x, gate8, gates, impl).astype(
             jnp.float32)).astype(x.dtype) * fp8_linear(x, up8, ups, impl)
         h = h + fp8_linear(act, down8, downs, impl)
-        return (h, ck8, cv8, cks, cvs, li + 1), ()
+        return (h, li + 1), (kq8, kqs[..., 0], vq8, vqs[..., 0])
 
-    xs = (params["attn_norm"], params["mlp_norm"],
-          params["q8"], params["qs"], params["k8"], params["ks"],
-          params["v8"], params["vs"], params["o8"], params["os"],
-          params["gate8"], params["gates"], params["up8"], params["ups"],
-          params["down8"], params["downs"])
     h = h.astype(jnp.bfloat16)
-    (h, ck8, cv8, cks, cvs, _), _ = jax.lax.scan(
-        layer_step,
-        (h, cache.k8, cache.v8, cache.k_scale, cache.v_scale,
-         jnp.int32(0)),
-        xs)
+    (h, _), (pk8, pks, pv8, pvs) = jax.lax.scan(
+        layer_step, (h, jnp.int32(0)), _layer_xs(params))
+    # pk8: (L, Sp, KV, D); write each prompt token's row into this slot's
+    # column block of the ring.
+    rows = jnp.mod(ring.head - length + jnp.arange(Sp), S)
+
+    def write_row(i, bufs):
+        kv8, sc = bufs
+        row = rows[i]
+        slab8 = jnp.stack([pk8[:, i], pv8[:, i]])          # (2, L, KV, D)
+        slabs = jnp.stack([pks[:, i], pvs[:, i]])          # (2, L, KV)
+        col = slot * KV
+        z = jnp.zeros((), jnp.int32)
+        kv8 = jax.lax.dynamic_update_slice(
+            kv8, slab8[None].astype(kv8.dtype), (row, z, z, col, z))
+        sc = jax.lax.dynamic_update_slice(
+            sc, slabs[None], (row, z, z, col))
+        return kv8, sc
+
+    kv8, sc = jax.lax.fori_loop(0, Sp, write_row, (ring.kv8, ring.sc))
+
     h_last = jax.lax.dynamic_slice_in_dim(h, length - 1, 1, axis=0)
     h_last = _rms(h_last, params["final_norm"], mcfg.norm_eps)
     logits = _lm_head(params, h_last)[0]
-    return logits, KVCache(ck8, cv8, cks, cvs)
+    return logits, RingKVCache(kv8, sc, ring.head)

@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from fp8tpu.models import Decoder, tiny_config
-from fp8tpu.serve import KVCache, ServeConfig, convert_decoder_params
+from fp8tpu.serve import RingKVCache, ServeConfig, convert_decoder_params
 from fp8tpu.serve.model import decode_step, decode_steps, prefill
 
 
@@ -23,8 +23,8 @@ def setup():
 
 
 def _fresh(cfg, b=2):
-    return KVCache.create(cfg.n_layers, b, 32, cfg.n_kv_heads,
-                          cfg.head_dim, "e4m3")
+    return RingKVCache.create(cfg.n_layers, b, 32, cfg.n_kv_heads,
+                              cfg.head_dim, "e4m3")
 
 
 def test_chunked_matches_stepwise_greedy(setup):

@@ -122,7 +122,7 @@ def test_sharded_train_step_matches_replicated(decoder_setup):
 
 
 def test_serve_params_sharding(decoder_setup):
-    from fp8tpu.serve import KVCache, ServeConfig, convert_decoder_params
+    from fp8tpu.serve import RingKVCache, ServeConfig, convert_decoder_params
     from fp8tpu.serve.model import decode_step
 
     cfg, m, variables, tokens = decoder_setup
@@ -132,11 +132,16 @@ def test_serve_params_sharding(decoder_setup):
     assert sp_sh["q8"].spec == P(None, None, "model")
     sparams_d = jax.device_put(sparams, sp_sh)
 
-    cache = KVCache.create(cfg.n_layers, 4, 32, cfg.n_kv_heads,
-                           cfg.head_dim, "e4m3")
-    cache_sh = jax.tree.map(
-        lambda x: jax.device_put(
-            x, NamedSharding(mesh, P(None, "data", "model"))), cache)
+    cache = RingKVCache.create(cfg.n_layers, 4, 32, cfg.n_kv_heads,
+                               cfg.head_dim, "e4m3")
+    # Ring layout (S, 2, L, B*KV, D): the flattened B*KV dim shards over
+    # (data, model) jointly — slots over data, kv heads over model.
+    def shard_leaf(x):
+        if x.ndim >= 4:
+            return jax.device_put(x, NamedSharding(
+                mesh, P(None, None, None, ("data", "model"))))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+    cache_sh = jax.tree.map(shard_leaf, cache)
     scfg = ServeConfig(model=cfg)
     with mesh:
         logits, new_cache = decode_step(

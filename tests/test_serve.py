@@ -16,6 +16,7 @@ from fp8tpu.models import Decoder, tiny_config
 from fp8tpu.serve import (
     KVCache,
     PagedKVCache,
+    RingKVCache,
     Request,
     ServeConfig,
     ServingEngine,
@@ -62,8 +63,8 @@ def test_serving_logits_close_to_emulation(setup):
     prompt = jnp.asarray([3, 14, 15, 92, 65, 35], jnp.int32)
     ref_logits = m.apply(variables, prompt[None])[0]  # (S, V)
 
-    cache = KVCache.create(cfg.n_layers, 1, 32, cfg.n_kv_heads,
-                           cfg.head_dim, "e4m3")
+    cache = RingKVCache.create(cfg.n_layers, 1, 32, cfg.n_kv_heads,
+                               cfg.head_dim, "e4m3")
     logits, cache = prefill(sparams, cache, jnp.pad(prompt, (0, 26)),
                             jnp.int32(0), jnp.int32(len(prompt)), scfg)
     ref_last = np.asarray(ref_logits[-1])
@@ -82,8 +83,8 @@ def test_incremental_decode_matches_prefill(setup):
     prompt = jnp.asarray([3, 14, 15, 92], jnp.int32)
     extra = [65, 35, 89, 79]
 
-    cache = KVCache.create(cfg.n_layers, 1, 32, cfg.n_kv_heads,
-                           cfg.head_dim, "e4m3")
+    cache = RingKVCache.create(cfg.n_layers, 1, 32, cfg.n_kv_heads,
+                               cfg.head_dim, "e4m3")
     logits, cache = prefill(sparams, cache, jnp.pad(prompt, (0, 28)),
                             jnp.int32(0), jnp.int32(4), scfg)
     pos = 4
@@ -94,8 +95,8 @@ def test_incremental_decode_matches_prefill(setup):
         pos += 1
     inc = np.asarray(logits[0])
 
-    cache2 = KVCache.create(cfg.n_layers, 1, 32, cfg.n_kv_heads,
-                            cfg.head_dim, "e4m3")
+    cache2 = RingKVCache.create(cfg.n_layers, 1, 32, cfg.n_kv_heads,
+                                cfg.head_dim, "e4m3")
     full = jnp.asarray(list(prompt) + extra, jnp.int32)
     logits2, _ = prefill(sparams, cache2, jnp.pad(full, (0, 24)),
                          jnp.int32(0), jnp.int32(8), scfg)

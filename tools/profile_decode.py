@@ -30,8 +30,11 @@ def main():
     from fp8tpu.serve.model import random_serve_params
     scfg = ServeConfig(model=CFG, weight_fmt=FMT, kv_fmt=FMT, embed_fmt=FMT)
     params = random_serve_params(CFG, FMT, embed_fmt=FMT)
-    cache = KVCache.create(CFG.n_layers, BATCH, CACHE_LEN, CFG.n_kv_heads,
-                           CFG.head_dim, FMT)
+    from fp8tpu.serve import RingKVCache
+    cache = RingKVCache.create(CFG.n_layers, BATCH, CACHE_LEN,
+                               CFG.n_kv_heads, CFG.head_dim, FMT)
+    import dataclasses
+    cache = dataclasses.replace(cache, head=jnp.int32(WARM_POS))
     tokens = jnp.ones((BATCH,), jnp.int32)
     pos0 = jnp.full((BATCH,), WARM_POS, jnp.int32)
     temp = jnp.zeros((BATCH,), jnp.float32)
