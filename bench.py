@@ -41,8 +41,8 @@ CFG = DecoderConfig(vocab_size=32768, d_model=4096, n_layers=16,
                     max_seq_len=1024)
 BATCH = 64
 CACHE_LEN = 512
-STEPS = 32
-WARM_POS = 476      # decode at near-full context (len 476->508 of 512)
+STEPS = 64
+WARM_POS = 444      # decode at near-full context (len 444->508 of 512)
 
 
 def make_params(fmt: str):
