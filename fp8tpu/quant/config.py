@@ -70,8 +70,18 @@ class TensorQuantConfig:
     group_size: int = 1
     block_size: int = 128
     channel_axis: int = 0
+    # Cast implementation: "bitexact" replicates the reference's via-fp16
+    # pipeline bit-for-bit (including its denormal-range quirks); "hw"
+    # uses the spec-exact single-rounding hardware convert (clip +
+    # native fp8/bf16/fp16 convert — ~3 HLO ops instead of ~100, an
+    # order-of-magnitude compile-time saver for training graphs).  "hw"
+    # silently falls back to bitexact for formats/modes without a
+    # hardware path (e3m4, fp4, e4m3_ieee, DAZ, non-RNE rounding).
+    cast_impl: str = "bitexact"
 
     def __post_init__(self):
+        if self.cast_impl not in ("bitexact", "hw"):
+            raise ValueError(f"invalid cast_impl {self.cast_impl!r}")
         if self.dtype not in FP_DTYPES + INT_DTYPES:
             raise ValueError(f"invalid dtype {self.dtype!r}")
         scheme = self.scheme

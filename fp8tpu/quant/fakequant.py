@@ -27,10 +27,44 @@ from fp8tpu.numerics.formats import FORMATS
 from .config import TensorQuantConfig
 
 
+_HW_DTYPES = {"e4m3": jnp.float8_e4m3fn, "e5m2": jnp.float8_e5m2,
+              "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+
+
+def _hw_eligible(cfg: TensorQuantConfig) -> bool:
+    return (cfg.cast_impl == "hw" and cfg.dtype in _HW_DTYPES
+            and cfg.scheme == "rne" and cfg.scaling != "per-block")
+
+
+def _qdq_hw(x: jax.Array, cfg: TensorQuantConfig, scale) -> jax.Array:
+    """Spec-exact single-rounding cast through the hardware dtype (OCP
+    fp8 / IEEE semantics; deviates from the reference's denormal-range
+    quirks — see TensorQuantConfig.cast_impl)."""
+    dt = _HW_DTYPES[cfg.dtype]
+    xf = x.astype(jnp.float32) * scale
+    fmt = FORMATS[cfg.dtype]
+    if not fmt.has_inf:          # e4m3: saturate instead of NaN overflow
+        xf = jnp.clip(xf, -fmt.max_normal, fmt.max_normal)
+    return (xf.astype(dt).astype(jnp.float32) / scale).astype(jnp.float32)
+
+
 def _quantize_impl(x: jax.Array, cfg: TensorQuantConfig,
                    key: Optional[jax.Array]) -> jax.Array:
     if cfg.is_int:
         return _integer.qdq_int(x, bits=cfg.bits)
+
+    if _hw_eligible(cfg):
+        if cfg.scaling == "none":
+            return _qdq_hw(x, cfg, 1.0)
+        fmt = FORMATS[cfg.dtype]
+        if cfg.scaling == "per-tensor":
+            return _qdq_hw(x, cfg, _scaling.per_tensor(x, fmt, cfg.method))
+        if cfg.scaling == "per-channel":
+            return _qdq_hw(x, cfg, _scaling.per_channel(
+                x, fmt, cfg.method, cfg.channel_axis))
+        if cfg.scaling == "fine-grained":
+            return _qdq_hw(x, cfg, _scaling.fine_grained(
+                x, fmt, cfg.group_size, cfg.method))
 
     fmt = FORMATS[cfg.dtype]
     mode = cfg.round_mode

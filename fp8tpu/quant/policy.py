@@ -135,8 +135,12 @@ class QuantPolicy:
 
 def e5m2_training_policy() -> QuantPolicy:
     """'Direct' FP8 training: everything E5M2, RNE forward / stochastic
-    backward (e5m2_emu.py:56-61; Mellempudi et al., arXiv:1905.12334)."""
-    rne = TensorQuantConfig("e5m2", "rne")
+    backward (e5m2_emu.py:56-61; Mellempudi et al., arXiv:1905.12334).
+    Forward RNE casts use the hardware-convert fast path (spec-exact
+    single rounding; ~30x fewer HLO ops per cast than the bit-exact
+    reference pipeline — training-step compile time was pathological
+    with hundreds of bit-pipeline casts in one graph)."""
+    rne = TensorQuantConfig("e5m2", "rne", cast_impl="hw")
     sto = TensorQuantConfig("e5m2", "stochastic")
     return QuantPolicy(
         default=ModuleQuantConfig(wt=rne, iact=rne, oact=rne,
@@ -151,7 +155,7 @@ def e5m2_training_policy() -> QuantPolicy:
 def hybrid_training_policy() -> QuantPolicy:
     """Hybrid training: E4M3 per-tensor forward / E5M2 stochastic backward
     (hybrid_emu.py:56-61; Micikevicius et al., arXiv:2209.05433)."""
-    fwd = TensorQuantConfig("e4m3", "rne", "per-tensor")
+    fwd = TensorQuantConfig("e4m3", "rne", "per-tensor", cast_impl="hw")
     bwd = TensorQuantConfig("e5m2", "stochastic")
     return QuantPolicy(
         default=ModuleQuantConfig(wt=fwd, iact=fwd, oact=fwd,

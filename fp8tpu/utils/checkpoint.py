@@ -35,7 +35,7 @@ def _tcfg_to_dict(c: Optional[TensorQuantConfig]):
         return None
     return {"dtype": c.dtype, "scheme": c.scheme, "scaling": c.scaling,
             "group_size": c.group_size, "block_size": c.block_size,
-            "channel_axis": c.channel_axis}
+            "channel_axis": c.channel_axis, "cast_impl": c.cast_impl}
 
 
 def _tcfg_from_dict(d):

@@ -1,0 +1,100 @@
+"""Hardware-convert cast fast path (TensorQuantConfig.cast_impl='hw')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fp8tpu.numerics import golden
+from fp8tpu.numerics.formats import FORMATS, RoundMode
+from fp8tpu.quant.config import TensorQuantConfig
+from fp8tpu.quant.fakequant import fake_quant
+
+
+@pytest.mark.parametrize("fmt", ["e4m3", "e5m2"])
+def test_hw_is_spec_exact(fmt, rng):
+    """The hw path must equal ml_dtypes' independent CPU implementation
+    of the OCP fp8 convert (single rounding)."""
+    import ml_dtypes
+    dt = {"e4m3": ml_dtypes.float8_e4m3fn,
+          "e5m2": ml_dtypes.float8_e5m2}[fmt]
+    f = FORMATS[fmt]
+    x = (rng.standard_normal(20000) * 50).astype(np.float32)
+    hw = np.asarray(fake_quant(jnp.asarray(x),
+                               TensorQuantConfig(fmt, cast_impl="hw")))
+    want = np.clip(x, -f.max_normal, f.max_normal).astype(dt).astype(
+        np.float32) if fmt == "e4m3" else x.astype(dt).astype(np.float32)
+    np.testing.assert_array_equal(hw, want)
+
+
+@pytest.mark.parametrize("fmt", ["e4m3", "e5m2", "bfloat16", "float16"])
+def test_hw_close_to_bitexact(fmt, rng):
+    """hw (single rounding) vs the reference's via-fp16 pipeline (double
+    rounding + denormal quirks): differences only at rounding-tie /
+    denormal boundaries, bounded by one grid step, and rare."""
+    f = FORMATS[fmt]
+    # stay inside f32-normal territory (bf16 subnormals reach 1e-41)
+    lo = max(f.min_subnormal * 16, 1e-35)
+    hi = min(f.max_normal * 0.9, 1e30)
+    mag = np.exp(rng.uniform(np.log(lo), np.log(hi), 20000))
+    x = (mag * rng.choice([-1, 1], 20000)).astype(np.float32)
+    hw = np.asarray(fake_quant(jnp.asarray(x),
+                               TensorQuantConfig(fmt, cast_impl="hw")))
+    exact = np.asarray(fake_quant(jnp.asarray(x), TensorQuantConfig(fmt)))
+    neq = hw != exact
+    # bfloat16's reference pipeline rounds on a 3-bit GRS window with no
+    # full sticky (fpemu_impl.cpp:284-329 scalar path) — true-RNE hw
+    # diverges on ~6% of values there; fp8 formats only at double-
+    # rounding ties.
+    limit = 0.08 if fmt == "bfloat16" else 0.01
+    assert neq.mean() < limit, neq.mean()
+    # bounded by ~one grid step of the coarser rounding
+    rel = np.abs(hw[neq] - exact[neq]) / np.abs(x[neq])
+    if rel.size:
+        assert rel.max() < 2.0 ** (-f.mant_bits) * 1.01 if f.mant_bits             else True
+
+
+def test_hw_saturates_e4m3():
+    x = jnp.asarray([1e9, -1e9, 448.0, 460.0, np.inf], jnp.float32)
+    out = np.asarray(fake_quant(x, TensorQuantConfig("e4m3",
+                                                     cast_impl="hw")))
+    np.testing.assert_array_equal(out, [448.0, -448.0, 448.0, 448.0,
+                                        448.0])
+
+
+def test_hw_keeps_e5m2_inf():
+    x = jnp.asarray([1e9, np.inf, 57344.0], jnp.float32)
+    out = np.asarray(fake_quant(x, TensorQuantConfig("e5m2",
+                                                     cast_impl="hw")))
+    assert np.isinf(out[0]) and np.isinf(out[1]) and out[2] == 57344.0
+
+
+def test_hw_spec_exact_vs_grid(rng):
+    """hw output values must lie exactly on the OCP e4m3 grid (validated
+    against the hardware dtype round-trip)."""
+    x = jnp.asarray(rng.standard_normal(4096).astype(np.float32) * 100)
+    out = fake_quant(x, TensorQuantConfig("e4m3", cast_impl="hw"))
+    rt = out.astype(jnp.float8_e4m3fn).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(rt))
+
+
+def test_hw_fallback_for_ineligible():
+    """Non-RNE / no-hw-dtype configs fall back to the bit pipeline."""
+    x = jnp.asarray(np.linspace(-30, 30, 257, dtype=np.float32))
+    a = fake_quant(x, TensorQuantConfig("e3m4", cast_impl="hw"))
+    b = fake_quant(x, TensorQuantConfig("e3m4"))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    g = golden.cast(np.asarray(x), FORMATS["e3m4"], RoundMode.RNE)
+    np.testing.assert_array_equal(np.asarray(a), g)
+
+
+def test_hw_per_tensor_scaling(rng):
+    """hw path honors the scaling grammar (scale folded around the
+    convert)."""
+    x = jnp.asarray(rng.standard_normal((64,)).astype(np.float32) * 1e-3)
+    cfg = TensorQuantConfig("e4m3", scaling="per-tensor", cast_impl="hw")
+    out = np.asarray(fake_quant(x, cfg))
+    # with max scaling the largest magnitude maps near the format max
+    rel = np.abs(out - np.asarray(x)) / np.maximum(np.abs(np.asarray(x)),
+                                                   1e-9)
+    assert np.median(rel) < 0.05
