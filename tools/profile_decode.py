@@ -21,7 +21,7 @@ from fp8tpu.serve.model import decode_steps
 
 CFG = DecoderConfig(vocab_size=32768, d_model=4096, n_layers=16,
                     n_heads=32, n_kv_heads=8, d_ff=11008, max_seq_len=1024)
-BATCH, CACHE_LEN, STEPS, WARM_POS = 64, 512, 32, 256
+BATCH, CACHE_LEN, STEPS, WARM_POS = 64, 512, 64, 444
 FMT = sys.argv[1] if len(sys.argv) > 1 else "e4m3"
 OUT = f"/tmp/prof_{FMT}"
 
