@@ -87,6 +87,49 @@ def fp8_linear(x: jax.Array, w8: jax.Array, scale: jax.Array,
     return (out * s).astype(x.dtype)
 
 
+def quantize_weights_int4(w: jax.Array) -> tuple:
+    """Per-output-channel symmetric int4 with nibble packing along K.
+
+    Two K-adjacent values share one byte (w[2k] in the low nibble); the
+    decode matmul splits the contraction into even/odd halves over the
+    packed bytes.  W4A16 HALVES weight memory vs fp8 (a 7B model's
+    weights fit in ~3.5 GB), doubling model capacity per chip;
+    throughput currently matches the fp8 path rather than beating it —
+    XLA reads the packed buffer once per half-contraction, so the
+    HBM-traffic win needs a single-pass Pallas unpack kernel (and
+    grouped AWQ-class scales need the same kernel); both are noted as
+    future work in NOTES.md.  INT4 is part of the reference's format
+    surface (qutils.py:216-247).
+
+    Returns (packed (K/2, N) uint8, scales (N,) f32).
+    """
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)
+    s = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(wf / s), -8, 7).astype(jnp.int32)
+    even, odd = q[0::2], q[1::2]
+    packed = ((even & 0xF) | ((odd & 0xF) << 4)).astype(jnp.uint8)
+    return packed, s.astype(jnp.float32)
+
+
+def int4_linear(x: jax.Array, wp: jax.Array, scale: jax.Array) -> jax.Array:
+    """x @ dequant(int4-packed w): the unpack (shift/sign-extend on the
+    packed bytes) fuses into the two half-contraction dot operands."""
+    s = scale.reshape(-1)
+    # CPU's dot thunk rejects bf16 x bf16 -> f32; compute in f32 there.
+    dt = x.dtype if jax.default_backend() == "tpu" else jnp.float32
+    xe = x[..., 0::2].astype(dt)
+    xo = x[..., 1::2].astype(dt)
+    lo = ((wp & 0xF).astype(jnp.int8) << 4 >> 4).astype(dt)
+    hi = (wp.astype(jnp.int8) >> 4).astype(dt)
+    nd = x.ndim - 1
+    out = (jax.lax.dot_general(xe, lo, (((nd,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(xo, hi, (((nd,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32))
+    return (out * s).astype(x.dtype)
+
+
 def _quantize_act(x: jax.Array, fmt: str = "e4m3"):
     from fp8tpu.numerics.formats import FORMATS
     fdesc = FORMATS[fmt]
@@ -134,6 +177,8 @@ def convert_decoder_params(variables, cfg: DecoderConfig,
         if fmt == "bf16":
             return (w.astype(jnp.bfloat16),
                     jnp.ones((w.shape[-1],), jnp.float32))
+        if fmt == "int4":
+            return quantize_weights_int4(w)
         payload, s = quantize_weights(w, fmt, axis=-1)
         return payload, s.reshape(-1)
 
@@ -179,12 +224,18 @@ def random_serve_params(cfg: DecoderConfig, fmt: str = "e4m3",
     streaming cost is value-independent."""
     L, Dm, FF = cfg.n_layers, cfg.d_model, cfg.d_ff
     HD, KVD = cfg.n_heads * cfg.head_dim, cfg.n_kv_heads * cfg.head_dim
-    dt = jnp.bfloat16 if fmt == "bf16" else _FP8_DTYPES[fmt]
     key = jax.random.key(seed)
 
-    def w(key, k, n):
-        x = jax.random.normal(key, (L, k, n), jnp.bfloat16) * 0.02
-        return x.astype(dt)
+    if fmt == "int4":
+        def w(key, k, n):
+            return jax.random.randint(key, (L, k // 2, n), 0, 256,
+                                      jnp.int32).astype(jnp.uint8)
+    else:
+        dt = jnp.bfloat16 if fmt == "bf16" else _FP8_DTYPES[fmt]
+
+        def w(key, k, n):
+            x = jax.random.normal(key, (L, k, n), jnp.bfloat16) * 0.02
+            return x.astype(dt)
 
     ks = jax.random.split(key, 8)
     out = {
@@ -205,6 +256,12 @@ def random_serve_params(cfg: DecoderConfig, fmt: str = "e4m3",
         out["embed"] = out["embed"].astype(_FP8_DTYPES[embed_fmt])
         out["embed_s"] = jnp.ones((cfg.vocab_size,), jnp.float32)
     return out
+
+
+def _make_linear(cfg: "ServeConfig"):
+    if cfg.weight_fmt == "int4":
+        return lambda x, w, s, impl=None: int4_linear(x, w, s)
+    return lambda x, w, s, impl=cfg.matmul_impl: fp8_linear(x, w, s, impl)
 
 
 def _layer_xs(params):
@@ -272,7 +329,7 @@ def _steps_impl(params: Dict, ring: RingKVCache, tokens: jax.Array,
     B = tokens.shape[0]
     S = ring.max_seq
     BK = B * KV
-    impl = cfg.matmul_impl
+    linear = _make_linear(cfg)
     use_pallas = _use_pallas_store(cfg)
     inv_freq = rope_freqs(mcfg)
 
@@ -297,9 +354,9 @@ def _steps_impl(params: Dict, ring: RingKVCache, tokens: jax.Array,
              gate8, gates, up8, ups, down8, downs) = xs
 
             x = _rms(h, attn_norm, mcfg.norm_eps)
-            q = fp8_linear(x, q8, qs, impl).reshape(B, H, D)
-            k = fp8_linear(x, k8w, ksw, impl).reshape(B, KV, D)
-            v = fp8_linear(x, v8w, vsw, impl).reshape(B, KV, D)
+            q = linear(x, q8, qs).reshape(B, H, D)
+            k = linear(x, k8w, ksw).reshape(B, KV, D)
+            v = linear(x, v8w, vsw).reshape(B, KV, D)
             q, k = rope1(q), rope1(k)
 
             kq8, kqs = quantize_kv(k, cfg.kv_fmt)
@@ -309,13 +366,12 @@ def _steps_impl(params: Dict, ring: RingKVCache, tokens: jax.Array,
                                kv8[:, 0, li], sc[:, 0, li],
                                kv8[:, 1, li], sc[:, 1, li], head, lens,
                                mcfg)
-            h = h + fp8_linear(ctx, o8, osw, impl)
+            h = h + linear(ctx, o8, osw)
 
             x = _rms(h, mlp_norm, mcfg.norm_eps)
-            act = jax.nn.silu(fp8_linear(x, gate8, gates, impl).astype(
-                jnp.float32)).astype(x.dtype) * fp8_linear(x, up8, ups,
-                                                           impl)
-            h = h + fp8_linear(act, down8, downs, impl)
+            act = jax.nn.silu(linear(x, gate8, gates).astype(
+                jnp.float32)).astype(x.dtype) * linear(x, up8, ups)
+            h = h + linear(act, down8, downs)
             return (h, li + 1), (kq8.reshape(BK, D), kqs.reshape(BK),
                                  vq8.reshape(BK, D), vqs.reshape(BK))
 
@@ -402,7 +458,7 @@ def prefill(params: Dict, ring: RingKVCache, tokens: jax.Array,
     H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
     Sp = tokens.shape[0]
     S = ring.max_seq
-    impl = cfg.matmul_impl
+    linear = _make_linear(cfg)
 
     h = _embed_lookup(params, tokens)                     # (Sp, Dm)
     inv_freq = rope_freqs(mcfg)
@@ -424,9 +480,9 @@ def prefill(params: Dict, ring: RingKVCache, tokens: jax.Array,
          gate8, gates, up8, ups, down8, downs) = xs
 
         x = _rms(h, attn_norm, mcfg.norm_eps)
-        q = fp8_linear(x, q8, qs, impl).reshape(Sp, H, D)
-        k = fp8_linear(x, k8w, ksw, impl).reshape(Sp, KV, D)
-        v = fp8_linear(x, v8w, vsw, impl).reshape(Sp, KV, D)
+        q = linear(x, q8, qs).reshape(Sp, H, D)
+        k = linear(x, k8w, ksw).reshape(Sp, KV, D)
+        v = linear(x, v8w, vsw).reshape(Sp, KV, D)
         q, k = rope1(q), rope1(k)
 
         kq8, kqs = quantize_kv(k, cfg.kv_fmt)
@@ -442,12 +498,12 @@ def prefill(params: Dict, ring: RingKVCache, tokens: jax.Array,
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("skgt,tkd->skgd", probs, v.astype(jnp.float32))
         ctx = ctx.reshape(Sp, H * D).astype(jnp.bfloat16)
-        h = h + fp8_linear(ctx, o8, osw, impl)
+        h = h + linear(ctx, o8, osw)
 
         x = _rms(h, mlp_norm, mcfg.norm_eps)
-        act = jax.nn.silu(fp8_linear(x, gate8, gates, impl).astype(
-            jnp.float32)).astype(x.dtype) * fp8_linear(x, up8, ups, impl)
-        h = h + fp8_linear(act, down8, downs, impl)
+        act = jax.nn.silu(linear(x, gate8, gates).astype(
+            jnp.float32)).astype(x.dtype) * linear(x, up8, ups)
+        h = h + linear(act, down8, downs)
         return (h, li + 1), (kq8, kqs[..., 0], vq8, vqs[..., 0])
 
     h = h.astype(jnp.bfloat16)

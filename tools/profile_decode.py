@@ -23,16 +23,17 @@ CFG = DecoderConfig(vocab_size=32768, d_model=4096, n_layers=16,
                     n_heads=32, n_kv_heads=8, d_ff=11008, max_seq_len=1024)
 BATCH, CACHE_LEN, STEPS, WARM_POS = 64, 512, 64, 444
 FMT = sys.argv[1] if len(sys.argv) > 1 else "e4m3"
+KV_FMT = "e4m3" if FMT == "int4" else FMT
 OUT = f"/tmp/prof_{FMT}"
 
 
 def main():
     from fp8tpu.serve.model import random_serve_params
-    scfg = ServeConfig(model=CFG, weight_fmt=FMT, kv_fmt=FMT, embed_fmt=FMT)
-    params = random_serve_params(CFG, FMT, embed_fmt=FMT)
+    scfg = ServeConfig(model=CFG, weight_fmt=FMT, kv_fmt=KV_FMT, embed_fmt=KV_FMT)
+    params = random_serve_params(CFG, FMT, embed_fmt=KV_FMT)
     from fp8tpu.serve import RingKVCache
     cache = RingKVCache.create(CFG.n_layers, BATCH, CACHE_LEN,
-                               CFG.n_kv_heads, CFG.head_dim, FMT)
+                               CFG.n_kv_heads, CFG.head_dim, KV_FMT)
     import dataclasses
     cache = dataclasses.replace(cache, head=jnp.int32(WARM_POS))
     tokens = jnp.ones((BATCH,), jnp.int32)
