@@ -33,7 +33,62 @@ _HW_DTYPES = {"e4m3": jnp.float8_e4m3fn, "e5m2": jnp.float8_e5m2,
 
 def _hw_eligible(cfg: TensorQuantConfig) -> bool:
     return (cfg.cast_impl == "hw" and cfg.dtype in _HW_DTYPES
-            and cfg.scheme == "rne" and cfg.scaling != "per-block")
+            and cfg.scheme in ("rne", "stochastic")
+            and cfg.scaling != "per-block")
+
+
+def _sr_hw(x: jax.Array, cfg: TensorQuantConfig, scale,
+           key: jax.Array) -> jax.Array:
+    """f32-domain stochastic rounding onto the target float grid.
+
+    Normal range (|x| >= 2^emin): classic add-random-bits-below-the-cut-
+    then-truncate on the f32 bit pattern (cut = 23 - m bits, always
+    within the mantissa field).  Subnormal range: the target grid is
+    FIXED-point (k * 2^(emin-m)), so the bit trick would reach into the
+    exponent field; instead floor(|x|/g + u) * g with u ~ U[0,1) — exact
+    unbiased SR on the subnormal grid, valid down to zero (no flush).
+    ~25 HLO ops vs ~100 for the via-fp16 reference pipeline; the random
+    stream differs from the reference's (16 uniform bits vs its 8
+    f16-domain GRS bits) — both unbiased.
+    """
+    from fp8tpu.numerics.cast import sr_bits
+
+    fmt = FORMATS[cfg.dtype]
+    m = fmt.mant_bits
+    emin = 1 - fmt.bias
+    xs = x.astype(jnp.float32) * scale
+    xs = jnp.clip(xs, -fmt.max_normal, fmt.max_normal)
+
+    u = jax.lax.bitcast_convert_type(xs, jnp.uint32)
+    sign = u & jnp.uint32(0x80000000)
+    mag = u & jnp.uint32(0x7FFFFFFF)
+    e = (mag >> 23).astype(jnp.int32) - 127
+    rb = sr_bits(key, x.shape).astype(jnp.uint32)
+
+    # -- normal-range branch: bit add-truncate, cut is a static int ----
+    cut = 23 - m
+    if cut >= 16:
+        radd = rb << (cut - 16)
+    else:
+        radd = rb >> (16 - cut)
+    mask = jnp.uint32(0xFFFFFFFF) << cut
+    mag_bits = (mag + radd) & mask
+    y_norm = jax.lax.bitcast_convert_type(mag_bits, jnp.float32)
+
+    # -- subnormal-range branch: fixed grid g = 2^(emin - m) -----------
+    g = jnp.float32(2.0 ** (emin - m))
+    inv_g = jnp.float32(2.0 ** (m - emin))
+    absx = jax.lax.bitcast_convert_type(mag, jnp.float32)
+    u01 = rb.astype(jnp.float32) * jnp.float32(2.0 ** -16)
+    y_sub = jnp.floor(absx * inv_g + u01) * g
+
+    y = jnp.where(e >= emin, y_norm, y_sub)
+    out = jax.lax.bitcast_convert_type(
+        sign | jax.lax.bitcast_convert_type(y, jnp.uint32), jnp.float32)
+    # SR may round up past the format max: saturate; keep NaN as NaN.
+    out = jnp.clip(out, -fmt.max_normal, fmt.max_normal)
+    out = jnp.where(jnp.isnan(xs), xs, out)
+    return (out / scale).astype(jnp.float32)
 
 
 def _qdq_hw(x: jax.Array, cfg: TensorQuantConfig, scale) -> jax.Array:
@@ -54,17 +109,26 @@ def _quantize_impl(x: jax.Array, cfg: TensorQuantConfig,
         return _integer.qdq_int(x, bits=cfg.bits)
 
     if _hw_eligible(cfg):
-        if cfg.scaling == "none":
-            return _qdq_hw(x, cfg, 1.0)
         fmt = FORMATS[cfg.dtype]
-        if cfg.scaling == "per-tensor":
-            return _qdq_hw(x, cfg, _scaling.per_tensor(x, fmt, cfg.method))
-        if cfg.scaling == "per-channel":
-            return _qdq_hw(x, cfg, _scaling.per_channel(
-                x, fmt, cfg.method, cfg.channel_axis))
-        if cfg.scaling == "fine-grained":
-            return _qdq_hw(x, cfg, _scaling.fine_grained(
-                x, fmt, cfg.group_size, cfg.method))
+        if cfg.scaling == "none":
+            hw_scale = 1.0
+        elif cfg.scaling == "per-tensor":
+            hw_scale = _scaling.per_tensor(x, fmt, cfg.method)
+        elif cfg.scaling == "per-channel":
+            hw_scale = _scaling.per_channel(x, fmt, cfg.method,
+                                            cfg.channel_axis)
+        elif cfg.scaling == "fine-grained":
+            hw_scale = _scaling.fine_grained(x, fmt, cfg.group_size,
+                                             cfg.method)
+        else:  # pragma: no cover
+            hw_scale = None
+        if hw_scale is not None:
+            if cfg.scheme == "stochastic":
+                if key is None:
+                    raise ValueError(
+                        f"{cfg.mode_string()} needs a PRNG key")
+                return _sr_hw(x, cfg, hw_scale, key)
+            return _qdq_hw(x, cfg, hw_scale)
 
     fmt = FORMATS[cfg.dtype]
     mode = cfg.round_mode

@@ -141,7 +141,7 @@ def e5m2_training_policy() -> QuantPolicy:
     reference pipeline — training-step compile time was pathological
     with hundreds of bit-pipeline casts in one graph)."""
     rne = TensorQuantConfig("e5m2", "rne", cast_impl="hw")
-    sto = TensorQuantConfig("e5m2", "stochastic")
+    sto = TensorQuantConfig("e5m2", "stochastic", cast_impl="hw")
     return QuantPolicy(
         default=ModuleQuantConfig(wt=rne, iact=rne, oact=rne,
                                   igrad=sto, ograd=sto, wtgrad=sto),
@@ -156,7 +156,7 @@ def hybrid_training_policy() -> QuantPolicy:
     """Hybrid training: E4M3 per-tensor forward / E5M2 stochastic backward
     (hybrid_emu.py:56-61; Micikevicius et al., arXiv:2209.05433)."""
     fwd = TensorQuantConfig("e4m3", "rne", "per-tensor", cast_impl="hw")
-    bwd = TensorQuantConfig("e5m2", "stochastic")
+    bwd = TensorQuantConfig("e5m2", "stochastic", cast_impl="hw")
     return QuantPolicy(
         default=ModuleQuantConfig(wt=fwd, iact=fwd, oact=fwd,
                                   igrad=bwd, ograd=bwd, wtgrad=bwd),

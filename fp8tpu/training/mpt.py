@@ -39,9 +39,9 @@ from fp8tpu.quant.policy import LayerKind, QuantPolicy, get_policy
 
 MASTER_CFGS = {
     "fp32": None,
-    "fp16": TensorQuantConfig("float16", "stochastic"),
-    "float16": TensorQuantConfig("float16", "stochastic"),
-    "e5m2": TensorQuantConfig("e5m2", "stochastic"),
+    "fp16": TensorQuantConfig("float16", "stochastic", cast_impl="hw"),
+    "float16": TensorQuantConfig("float16", "stochastic", cast_impl="hw"),
+    "e5m2": TensorQuantConfig("e5m2", "stochastic", cast_impl="hw"),
 }
 
 EMB_CFGS = {

@@ -1,0 +1,77 @@
+"""f32-domain stochastic-rounding fast path (cast_impl='hw',
+scheme='stochastic')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fp8tpu.numerics.formats import FORMATS
+from fp8tpu.quant.config import TensorQuantConfig
+from fp8tpu.quant.fakequant import fake_quant
+
+
+def _grid_ok(vals, fmt):
+    """Every output value must round-trip the hardware dtype exactly."""
+    dt = {"e5m2": jnp.float8_e5m2, "e4m3": jnp.float8_e4m3fn}[fmt]
+    v = jnp.asarray(vals)
+    rt = np.asarray(v.astype(dt).astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(vals), rt)
+
+
+@pytest.mark.parametrize("fmt", ["e5m2", "e4m3"])
+def test_sr_outputs_on_grid(fmt, rng):
+    x = jnp.asarray((rng.standard_normal(8192) * 20).astype(np.float32))
+    cfg = TensorQuantConfig(fmt, "stochastic", cast_impl="hw")
+    out = np.asarray(fake_quant(x, cfg, jax.random.key(0)))
+    _grid_ok(out, fmt)
+
+
+@pytest.mark.parametrize("fmt", ["e5m2", "e4m3", "float16", "bfloat16"])
+def test_sr_unbiased(fmt):
+    """Mean over many SR draws converges to x (the defining property)."""
+    f = FORMATS[fmt]
+    # values straddling normal and subnormal ranges; bf16/f16 subnormals
+    # sit below f32-normal territory where _sr_hw flushes, so test their
+    # normal range only
+    if fmt in ("bfloat16", "float16"):
+        xvals = np.asarray([1.3, -2.7, 0.33, 1e-3, -17.0, 17.0],
+                           np.float32)
+    else:
+        xvals = np.asarray([1.3, -2.7, 0.33, f.min_subnormal * 3.3,
+                            -f.min_subnormal * 1.7, 17.0], np.float32)
+    cfg = TensorQuantConfig(fmt, "stochastic", cast_impl="hw")
+    x = jnp.asarray(np.tile(xvals, (4096, 1)))
+
+    @jax.jit
+    def draw(key):
+        return fake_quant(x, cfg, key)
+
+    acc = np.zeros_like(np.asarray(x), np.float64)
+    n = 8
+    for i in range(n):
+        acc += np.asarray(draw(jax.random.key(i)), np.float64)
+    mean = (acc / n).mean(axis=0)
+    # relative bias well under half an ulp of the format
+    rel = np.abs(mean - xvals) / np.abs(xvals)
+    assert (rel < 2.0 ** (-f.mant_bits) / 2).all(), rel
+
+
+def test_sr_saturates():
+    cfg = TensorQuantConfig("e4m3", "stochastic", cast_impl="hw")
+    x = jnp.asarray([1e9, -1e9, 448.0], jnp.float32)
+    out = np.asarray(fake_quant(x, cfg, jax.random.key(0)))
+    np.testing.assert_array_equal(out, [448.0, -448.0, 448.0])
+
+
+def test_sr_matches_bitexact_distributionally(rng):
+    """hw-SR and the reference pipeline SR must agree in expectation
+    (different random streams, same grid)."""
+    x = jnp.asarray((rng.standard_normal(4096) * 5).astype(np.float32))
+    hw = TensorQuantConfig("e5m2", "stochastic", cast_impl="hw")
+    ref = TensorQuantConfig("e5m2", "stochastic")
+    mh = mr = 0.0
+    for i in range(6):
+        mh += float(jnp.mean(fake_quant(x, hw, jax.random.key(i))))
+        mr += float(jnp.mean(fake_quant(x, ref, jax.random.key(100 + i))))
+    assert abs(mh - mr) / 6 < 5e-3
