@@ -31,14 +31,21 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def build(force: bool = False) -> str:
-    if os.path.exists(_LIB) and not force:
-        if os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-            return _LIB
+    """Compile from source, keyed on a source hash (never ship or load a
+    checked-in binary — the .so is untracked and rebuilt per checkout)."""
+    import hashlib
+    src_hash = hashlib.sha256(open(_SRC, "rb").read()).hexdigest()
+    stamp = _LIB + ".hash"
+    if (os.path.exists(_LIB) and not force and os.path.exists(stamp)
+            and open(stamp).read() == src_hash):
+        return _LIB
     os.makedirs(_LIB_DIR, exist_ok=True)
     subprocess.run(
         ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
          _SRC, "-o", _LIB],
         check=True)
+    with open(stamp, "w") as f:
+        f.write(src_hash)
     return _LIB
 
 

@@ -276,5 +276,35 @@ def qdq_matmul(
     sw = jnp.asarray(scale_w, jnp.float32) * jnp.ones((w.shape[1],),
                                                       jnp.float32)
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    stochastic = RoundMode.STOCHASTIC in (mode_x, mode_w)
+    if interpret and stochastic:
+        # Interpret mode (CPU CI) lacks the TPU PRNG primitives; run the
+        # semantically equivalent whole-operand jnp path (same grid, same
+        # f32 accumulate; the SR random stream differs from the on-chip
+        # per-tile stream — both unbiased).
+        return _qdq_matmul_jnp(x, w, sx, sw, seed_arr, fmt_x, mode_x,
+                               fmt_w, mode_w, out_dtype)
     return _qdq_matmul(x, w, sx, sw, seed_arr, fmt_x, mode_x, fmt_w, mode_w,
                        tm, tn, tk, out_dtype, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fmt_x", "mode_x", "fmt_w", "mode_w",
+                              "out_dtype"))
+def _qdq_matmul_jnp(x, w, sx, sw, seed, fmt_x, mode_x, fmt_w, mode_w,
+                    out_dtype):
+    key = jax.random.fold_in(jax.random.key(0), seed[0])
+
+    def _q(v, fmt, mode, scale, tag):
+        if fmt is None:
+            return v.astype(jnp.float32)
+        rb = None
+        if mode == RoundMode.STOCHASTIC:
+            rb = jax.random.bits(jax.random.fold_in(key, tag), v.shape,
+                                 jnp.uint16)
+        return cast_array(v.astype(jnp.float32), scale, rb, fmt, mode)
+
+    xq = _q(x, fmt_x, mode_x, sx[0], 1)
+    wq = _q(w, fmt_w, mode_w, sw.reshape(1, -1), 2)
+    return jnp.dot(xq, wq, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(out_dtype)

@@ -26,14 +26,20 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def build(force: bool = False) -> str:
-    """Compile the shared library (g++ -O2; OpenMP not required)."""
-    if os.path.exists(_LIB) and not force:
-        if os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-            return _LIB
+    """Compile the shared library (g++ -O2; OpenMP not required).
+    Keyed on a source hash so a stale/foreign binary is never loaded."""
+    import hashlib
+    src_hash = hashlib.sha256(open(_SRC, "rb").read()).hexdigest()
+    stamp = _LIB + ".hash"
+    if (os.path.exists(_LIB) and not force and os.path.exists(stamp)
+            and open(stamp).read() == src_hash):
+        return _LIB
     os.makedirs(_LIB_DIR, exist_ok=True)
     subprocess.run(
         ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
         check=True)
+    with open(stamp, "w") as f:
+        f.write(src_hash)
     return _LIB
 
 

@@ -50,14 +50,19 @@ def _sr_hw(x: jax.Array, cfg: TensorQuantConfig, scale,
     ~25 HLO ops vs ~100 for the via-fp16 reference pipeline; the random
     stream differs from the reference's (16 uniform bits vs its 8
     f16-domain GRS bits) — both unbiased.
+
+    bf16/f16 note: inputs below the f32 normal range are flushed to zero
+    by XLA's DAZ+FTZ f32 arithmetic on both CPU and TPU backends (same as
+    real bf16 hardware); the guarantee here is no NaN and no saturation
+    for such inputs (ADVICE r1 regression).
     """
     from fp8tpu.numerics.cast import sr_bits
 
     fmt = FORMATS[cfg.dtype]
     m = fmt.mant_bits
     emin = 1 - fmt.bias
-    xs = x.astype(jnp.float32) * scale
-    xs = jnp.clip(xs, -fmt.max_normal, fmt.max_normal)
+    xs0 = x.astype(jnp.float32) * scale
+    xs = jnp.clip(xs0, -fmt.max_normal, fmt.max_normal)
 
     u = jax.lax.bitcast_convert_type(xs, jnp.uint32)
     sign = u & jnp.uint32(0x80000000)
@@ -76,18 +81,32 @@ def _sr_hw(x: jax.Array, cfg: TensorQuantConfig, scale,
     y_norm = jax.lax.bitcast_convert_type(mag_bits, jnp.float32)
 
     # -- subnormal-range branch: fixed grid g = 2^(emin - m) -----------
-    g = jnp.float32(2.0 ** (emin - m))
-    inv_g = jnp.float32(2.0 ** (m - emin))
+    shift = m - emin                      # static python int
     absx = jax.lax.bitcast_convert_type(mag, jnp.float32)
     u01 = rb.astype(jnp.float32) * jnp.float32(2.0 ** -16)
-    y_sub = jnp.floor(absx * inv_g + u01) * g
+    if shift > 126:
+        # bfloat16: 2^(m-emin) = 2^133 overflows f32 to inf (0*inf = NaN,
+        # ADVICE r1 — XLA refolds even a split constant product back into
+        # one inf constant), and the whole branch domain |x| < 2^-126 is
+        # f32-subnormal, which XLA's DAZ+FTZ f32 arithmetic flushes on CPU
+        # and TPU alike.  The grid values themselves are f32-subnormal, so
+        # the defined result under flush semantics is exactly zero.
+        y_sub = jnp.zeros_like(absx)
+    else:
+        g = jnp.float32(2.0 ** (emin - m))
+        inv_g = jnp.float32(2.0 ** shift)
+        y_sub = jnp.floor(absx * inv_g + u01) * g
 
     y = jnp.where(e >= emin, y_norm, y_sub)
     out = jax.lax.bitcast_convert_type(
         sign | jax.lax.bitcast_convert_type(y, jnp.uint32), jnp.float32)
-    # SR may round up past the format max: saturate; keep NaN as NaN.
+    # SR may round up past the format max: saturate; keep NaN as NaN and,
+    # for formats with an inf encoding (e5m2/bf16/f16), pass ±inf through
+    # instead of saturating (mirrors _qdq_hw's overflow semantics).
     out = jnp.clip(out, -fmt.max_normal, fmt.max_normal)
-    out = jnp.where(jnp.isnan(xs), xs, out)
+    out = jnp.where(jnp.isnan(xs0), xs0, out)
+    if fmt.has_inf:
+        out = jnp.where(jnp.isinf(xs0), xs0, out)
     return (out / scale).astype(jnp.float32)
 
 

@@ -41,26 +41,29 @@ def _operand_scale(x, cfg: Optional[TensorQuantConfig]):
     return _scaling.per_tensor(x, FORMATS[cfg.dtype], cfg.method)
 
 
-def _seed_of(key: Optional[jax.Array]):
+def _seed_of(key: Optional[jax.Array]) -> jax.Array:
     if key is None:
-        return 0
-    return jax.random.randint(key, (), 0, 2**31 - 1)
+        return jnp.zeros((), jnp.int32)
+    return jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def patched_matmul(a: jax.Array, b: jax.Array,
-                   cfg: ModuleQuantConfig, interpret: bool = False,
-                   seed: int = 0) -> jax.Array:
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def patched_matmul(a: jax.Array, b: jax.Array, seed: jax.Array,
+                   cfg: ModuleQuantConfig,
+                   interpret: bool = False) -> jax.Array:
     """2-D ``qdq(a) @ qdq(b)`` through the fused engine kernel.
 
     Both operands use the module's ``iact`` role config (the reference's
     C-model runs under hooks that quantized inputs; batchmatmul policy
     quantizes inputs only, e4m3_emu.py:124-129).
+
+    ``seed`` is a regular (traced) int32 operand — not a nondiff static —
+    so keyed stochastic configs work under jit (ADVICE r1).
     """
-    return _forward(a, b, cfg, interpret, seed)
+    return _forward(a, b, seed, cfg, interpret)
 
 
-def _forward(a, b, cfg, interpret, seed):
+def _forward(a, b, seed, cfg, interpret):
     fmt, mode = _fmt_args(cfg.iact)
     out = qdq_matmul(a, b, fmt_x=fmt, mode_x=mode, fmt_w=fmt, mode_w=mode,
                      scale_x=_operand_scale(a, cfg.iact),
@@ -69,11 +72,12 @@ def _forward(a, b, cfg, interpret, seed):
     return out.astype(a.dtype)
 
 
-def _fwd(a, b, cfg, interpret, seed):
-    return _forward(a, b, cfg, interpret, seed), (a, b)
+def _fwd(a, b, seed, cfg, interpret):
+    return _forward(a, b, seed, cfg, interpret), (a, b)
 
 
-def _bwd(cfg, interpret, seed, res, g):
+def _bwd(cfg, interpret, res, g):
+    import numpy as np
     a, b = res
     gf = g.astype(jnp.float32)
     # Two engine matmuls, no re-quantization (the C-model's backward runs
@@ -83,7 +87,9 @@ def _bwd(cfg, interpret, seed, res, g):
                     interpret=interpret)
     db = qdq_matmul(a.astype(jnp.float32).T, gf, fmt_x=None, fmt_w=None,
                     interpret=interpret)
-    return da.astype(a.dtype), db.astype(b.dtype)
+    # Integer operand: cotangent is the symbolic-zero float0 type.
+    dseed = np.zeros((), dtype=jax.dtypes.float0)
+    return da.astype(a.dtype), db.astype(b.dtype), dseed
 
 
 patched_matmul.defvjp(_fwd, _bwd)
@@ -99,17 +105,17 @@ def engine_matmul(a: jax.Array, b: jax.Array, cfg: ModuleQuantConfig,
         interpret = jax.default_backend() != "tpu"
     seed = _seed_of(key)
     if a.ndim == 2 and b.ndim == 2:
-        return patched_matmul(a, b, cfg, interpret, seed)
+        return patched_matmul(a, b, seed, cfg, interpret)
     if b.ndim == 2:
         lead = a.shape[:-1]
-        out = patched_matmul(a.reshape(-1, a.shape[-1]), b, cfg, interpret,
-                             seed)
+        out = patched_matmul(a.reshape(-1, a.shape[-1]), b, seed, cfg,
+                             interpret)
         return out.reshape(*lead, b.shape[-1])
     # batched x batched: flatten batch dims and map the 2-D engine.
     batch = a.shape[:-2]
     af = a.reshape((-1,) + a.shape[-2:])
     bf = jnp.broadcast_to(b, batch + b.shape[-2:]).reshape(
         (-1,) + b.shape[-2:])
-    fn = lambda x, y: patched_matmul(x, y, cfg, interpret, seed)
+    fn = lambda x, y: patched_matmul(x, y, seed, cfg, interpret)
     out = jax.lax.map(lambda ab: fn(*ab), (af, bf))
     return out.reshape(batch + out.shape[-2:])

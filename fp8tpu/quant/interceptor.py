@@ -180,15 +180,29 @@ def make_quant_interceptor(
                         rec.get("iact_ch_absmax", 0.0),
                         jnp.max(jnp.abs(a0), axis=_chan(a0)))
 
+        # Patched path requires engine-expressible iact scaling: the fused
+        # kernel's operand scale is per-tensor, so per-channel/fine-grained
+        # configs stay on the unpatched path (ADVICE r1).
         patched = (cfg is not None and cfg.patch_ops
                    and kind in (LayerKind.MATMUL, LayerKind.BATCH_MATMUL)
-                   and not kwargs)
-        # iact casts apply on the patched path too (the reference's
-        # hooks quantize inputs before the patched op runs; re-casting
-        # inside the engine is idempotent).
+                   and not kwargs
+                   and (cfg.iact is None
+                        or cfg.iact.scaling in ("none", "per-tensor")))
+        # On the patched path the engine quantizes the two contraction
+        # operands in-register; pre-casting them here would double-quantize
+        # (not idempotent for stochastic schemes).  Any other inputs (the
+        # additive term of AddMatmul) still get the iact cast, matching the
+        # reference hooks which quantize every input (qutils.py:528-534).
         if cfg is not None and cfg.iact is not None:
-            args = _map_float_args(
-                lambda a: fake_quant(a, cfg.iact, mod_key(1)), args)
+            if patched:
+                ncontr = len(args) - 2
+                args = tuple(
+                    fake_quant(a, cfg.iact, mod_key(1))
+                    if (i < ncontr and _is_float_array(a)) else a
+                    for i, a in enumerate(args))
+            else:
+                args = _map_float_args(
+                    lambda a: fake_quant(a, cfg.iact, mod_key(1)), args)
         if cfg is not None and cfg.igrad is not None:
             args = _map_float_args(
                 lambda a: grad_cast(a, cfg.igrad, mod_key(2)), args)

@@ -57,6 +57,32 @@ def test_engine_matmul_grad_flows(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_engine_matmul_keyed_under_jit(rng):
+    """ADVICE r1 regression: a stochastic (keyed) engine matmul must jit —
+    the seed is a traced operand, not a nondiff static."""
+    cfg = ModuleQuantConfig(iact=TensorQuantConfig("e4m3", "stochastic"),
+                            patch_ops=True)
+    a = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((32, 8)), jnp.float32)
+
+    @jax.jit
+    def f(a, b, key):
+        return engine_matmul(a, b, cfg, key=key, interpret=True)
+
+    out = np.asarray(f(a, b, jax.random.key(7)))
+    assert np.isfinite(out).all()
+    # SR noise is zero-mean around the RNE product
+    want = _ref_qdq(a) @ _ref_qdq(b)
+    assert np.abs(out - want).mean() < 0.5
+
+    # and the keyed path must also differentiate under jit
+    g = jax.jit(jax.grad(
+        lambda a, b, k: jnp.sum(engine_matmul(a, b, cfg, key=k,
+                                              interpret=True))))(
+        a, b, jax.random.key(7))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 class TwoMatmuls(nn.Module):
     @nn.compact
     def __call__(self, x, w):

@@ -55,11 +55,12 @@ def test_sharding_divisibility_repair(decoder_setup):
     """Dims not divisible by the mesh axis must fall back to replication
     instead of erroring."""
     cfg, m, variables, tokens = decoder_setup
-    mesh = make_mesh(data=1, model=8)  # d_ff=128/8 ok, but vocab 256/8 ok;
-    # head 4*16=64 / 8 = 8 ok. Use a weird mesh on purpose:
-    mesh3 = make_mesh(data=1, model=3) if False else mesh
+    mesh3 = make_mesh(data=1, model=3)  # 3 does not divide any dim here
     sh = shard_tree(variables, mesh3, DECODER_PARAM_RULES)
-    jax.tree.map(lambda s: s.spec, sh)  # all valid
+    specs = jax.tree.leaves(jax.tree.map(lambda s: s.spec, sh,
+                                         is_leaf=lambda x: hasattr(x, "spec")))
+    # every model-axis assignment on a non-divisible dim was repaired away
+    assert all(ax is None for spec in specs for ax in spec), specs
 
 
 def test_sharded_quantized_forward(decoder_setup):

@@ -64,6 +64,51 @@ def test_sr_saturates():
     np.testing.assert_array_equal(out, [448.0, -448.0, 448.0])
 
 
+def test_sr_bf16_zero_and_subnormal_inputs():
+    """ADVICE r1 regression: bf16 SR-hw must not NaN-poison x==0 or
+    saturate f32-subnormal inputs (2^(m-emin)=2^133 used to overflow)."""
+    cfg = TensorQuantConfig("bfloat16", "stochastic", cast_impl="hw")
+    x = jnp.asarray([0.0, -0.0, 1e-40, -1e-40, 1e-38, 1.0], jnp.float32)
+    out = np.asarray(fake_quant(x, cfg, jax.random.key(3)))
+    assert not np.isnan(out).any(), out
+    assert out[0] == 0.0 and out[1] == 0.0
+    # subnormal inputs stay tiny (grid-rounded), never saturate to 3.4e38
+    assert (np.abs(out[2:5]) < 1e-37).all(), out
+    assert out[5] == 1.0
+
+
+@pytest.mark.parametrize("fmt", ["e5m2", "bfloat16", "float16"])
+def test_sr_inf_passthrough(fmt):
+    """Formats with an inf encoding pass ±inf through (matches _qdq_hw)."""
+    cfg = TensorQuantConfig(fmt, "stochastic", cast_impl="hw")
+    x = jnp.asarray([np.inf, -np.inf, 2.0], jnp.float32)
+    out = np.asarray(fake_quant(x, cfg, jax.random.key(0)))
+    assert np.isposinf(out[0]) and np.isneginf(out[1]), out
+
+
+def test_sr_e4m3_inf_saturates():
+    """e4m3 (no inf encoding) saturates overflow, including inf inputs."""
+    cfg = TensorQuantConfig("e4m3", "stochastic", cast_impl="hw")
+    x = jnp.asarray([np.inf, -np.inf], jnp.float32)
+    out = np.asarray(fake_quant(x, cfg, jax.random.key(0)))
+    np.testing.assert_array_equal(out, [448.0, -448.0])
+
+
+def test_sr_bf16_subnormal_flush_documented():
+    """bf16-subnormal inputs are f32-subnormal; XLA's CPU and TPU backends
+    run f32 ops with DAZ+FTZ, so they flush to zero deterministically
+    (matching real bf16 hardware).  The contract is: never NaN, never
+    saturate — zero is the documented result."""
+    f = FORMATS["bfloat16"]
+    cfg = TensorQuantConfig("bfloat16", "stochastic", cast_impl="hw")
+    xvals = np.asarray([f.min_subnormal * 3.3, -f.min_subnormal * 1.7],
+                       np.float32)
+    x = jnp.asarray(np.tile(xvals, (1024, 1)))
+    out = np.asarray(fake_quant(x, cfg, jax.random.key(1)))
+    assert np.isfinite(out).all()
+    assert (np.abs(out) <= f.min_subnormal * 8).all()  # flushed or on-grid
+
+
 def test_sr_matches_bitexact_distributionally(rng):
     """hw-SR and the reference pipeline SR must agree in expectation
     (different random streams, same grid)."""
