@@ -62,6 +62,12 @@ def load() -> ctypes.CDLL:
         lib.cmodel_conv2d_fp.restype = ctypes.c_int
         lib.cmodel_conv2d_fp.argtypes = [
             fp, fp, fp] + [ctypes.c_int64] * 9 + [ctypes.c_int]
+        lib.cmodel_conv2d_bp.restype = ctypes.c_int
+        lib.cmodel_conv2d_bp.argtypes = [
+            fp, fp, fp] + [ctypes.c_int64] * 9 + [ctypes.c_int]
+        lib.cmodel_conv2d_wu.restype = ctypes.c_int
+        lib.cmodel_conv2d_wu.argtypes = [
+            fp, fp, fp] + [ctypes.c_int64] * 9 + [ctypes.c_int]
         lib.cmodel_version.restype = ctypes.c_char_p
         _lib = lib
     return _lib
@@ -135,3 +141,57 @@ def matmul_vjp(a: np.ndarray, b: np.ndarray, g: np.ndarray,
     da = gemm(g, b, b_trans=True, round_bf16=round_bf16)
     db = gemm(a, g, a_trans=True, round_bf16=round_bf16)
     return da, db
+
+
+def conv2d_bp(dy: np.ndarray, w: np.ndarray, x_shape, stride: int = 1,
+              pad: int = 0, round_bf16: bool = True) -> np.ndarray:
+    """Conv2d backward-data through the engine: dy (N,OH,OW,Cout),
+    w (KH,KW,Cin,Cout) -> dx (N,H,W,Cin).  Native analog of the
+    reference's gemm_kernel_conv_bp (simple_conv2d_impl.cpp:472-572)."""
+    lib = load()
+    n, h, wd, cin = x_shape
+    kh, kw, cin2, cout = w.shape
+    assert cin == cin2
+    dyf = np.ascontiguousarray(dy, np.float32)
+    wf = np.ascontiguousarray(w.reshape(kh * kw * cin, cout), np.float32)
+    dx = np.zeros((n, h, wd, cin), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.cmodel_conv2d_bp(
+        dyf.ctypes.data_as(fp), wf.ctypes.data_as(fp),
+        dx.ctypes.data_as(fp), n, h, wd, cin, kh, kw, cout, stride, pad,
+        int(round_bf16))
+    if rc != 0:
+        raise ValueError(f"cmodel_conv2d_bp failed rc={rc}")
+    return dx
+
+
+def conv2d_wu(x: np.ndarray, dy: np.ndarray, ksize, stride: int = 1,
+              pad: int = 0, round_bf16: bool = True) -> np.ndarray:
+    """Conv2d backward-weight through the engine: x (N,H,W,Cin),
+    dy (N,OH,OW,Cout) -> dw (KH,KW,Cin,Cout).  Native analog of
+    gemm_kernel_conv_wu (simple_conv2d_impl.cpp:574-670)."""
+    lib = load()
+    xf = np.ascontiguousarray(x, np.float32)
+    dyf = np.ascontiguousarray(dy, np.float32)
+    n, h, wd, cin = xf.shape
+    kh, kw = ksize
+    cout = dyf.shape[-1]
+    dw = np.zeros((kh * kw * cin, cout), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.cmodel_conv2d_wu(
+        xf.ctypes.data_as(fp), dyf.ctypes.data_as(fp),
+        dw.ctypes.data_as(fp), n, h, wd, cin, kh, kw, cout, stride, pad,
+        int(round_bf16))
+    if rc != 0:
+        raise ValueError(f"cmodel_conv2d_wu failed rc={rc}")
+    return dw.reshape(kh, kw, cin, cout)
+
+
+def conv2d_vjp(x: np.ndarray, w: np.ndarray, g: np.ndarray,
+               stride: int = 1, pad: int = 0, round_bf16: bool = True):
+    """Backward of conv2d_fp through the engine: (dx, dw) — the same
+    bp/wu pair the reference's SimpleConv2dFunction issues
+    (cmodel/simple.py:202-216)."""
+    dx = conv2d_bp(g, w, x.shape, stride, pad, round_bf16)
+    dw = conv2d_wu(x, g, w.shape[:2], stride, pad, round_bf16)
+    return dx, dw

@@ -76,23 +76,133 @@ def _fwd(a, b, seed, cfg, interpret):
     return _forward(a, b, seed, cfg, interpret), (a, b)
 
 
+def _requant(x, cfg_t):
+    """Re-derive the quantized operand for the backward: the reference's
+    hooks quantize tensors in place, so its C-model backward consumes the
+    quantized values (cmodel/simple.py:124-146).  RNE reproduces the
+    in-kernel cast exactly; stochastic takes an independent unbiased draw
+    (the on-chip per-tile stream is not replayable host-side)."""
+    if cfg_t is None:
+        return x.astype(jnp.float32)
+    from .fakequant import fake_quant
+    key = None
+    if cfg_t.is_stochastic:
+        key = jax.random.key(0)
+    return fake_quant(x.astype(jnp.float32), cfg_t, key)
+
+
 def _bwd(cfg, interpret, res, g):
     import numpy as np
     a, b = res
     gf = g.astype(jnp.float32)
-    # Two engine matmuls, no re-quantization (the C-model's backward runs
-    # the plain tile engine, cmodel/simple.py:124-146); straight-through
-    # w.r.t. the in-kernel casts.
-    da = qdq_matmul(gf, b.astype(jnp.float32).T, fmt_x=None, fmt_w=None,
-                    interpret=interpret)
-    db = qdq_matmul(a.astype(jnp.float32).T, gf, fmt_x=None, fmt_w=None,
-                    interpret=interpret)
+    # Two engine matmuls over the (re-)quantized saved operands — the
+    # gradient itself is not re-quantized (the C-model's backward runs
+    # the plain tile engine); straight-through w.r.t. the casts.
+    aq, bq = _requant(a, cfg.iact), _requant(b, cfg.iact)
+    da = qdq_matmul(gf, bq.T, fmt_x=None, fmt_w=None, interpret=interpret)
+    db = qdq_matmul(aq.T, gf, fmt_x=None, fmt_w=None, interpret=interpret)
     # Integer operand: cotangent is the symbolic-zero float0 type.
     dseed = np.zeros((), dtype=jax.dtypes.float0)
     return da.astype(a.dtype), db.astype(b.dtype), dseed
 
 
 patched_matmul.defvjp(_fwd, _bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def patched_linear(x: jax.Array, w: jax.Array, seed: jax.Array,
+                   cfg: ModuleQuantConfig,
+                   interpret: bool = False) -> jax.Array:
+    """2-D ``qdq(x) @ w`` through the fused engine: the activation is
+    cast per the module's ``iact`` role in-register; the weight passes
+    uncast because the wt role was already applied upstream by
+    quantize_params — matching the reference where hooks quantize weights
+    and inputs before the patched op consumes them (qutils.py:478-534)."""
+    return _lin_forward(x, w, seed, cfg, interpret)
+
+
+def _lin_forward(x, w, seed, cfg, interpret):
+    fmt, mode = _fmt_args(cfg.iact)
+    out = qdq_matmul(x, w, fmt_x=fmt, mode_x=mode, fmt_w=None,
+                     scale_x=_operand_scale(x, cfg.iact),
+                     seed=seed, out_dtype=jnp.float32, interpret=interpret)
+    return out.astype(x.dtype)
+
+
+def _lin_fwd(x, w, seed, cfg, interpret):
+    return _lin_forward(x, w, seed, cfg, interpret), (x, w)
+
+
+def _lin_bwd(cfg, interpret, res, g):
+    import numpy as np
+    x, w = res
+    gf = g.astype(jnp.float32)
+    xq = _requant(x, cfg.iact)       # w is already wt-quantized upstream
+    dx = qdq_matmul(gf, w.astype(jnp.float32).T, fmt_x=None, fmt_w=None,
+                    interpret=interpret)
+    dw = qdq_matmul(xq.T, gf, fmt_x=None, fmt_w=None, interpret=interpret)
+    return (dx.astype(x.dtype), dw.astype(w.dtype),
+            np.zeros((), dtype=jax.dtypes.float0))
+
+
+patched_linear.defvjp(_lin_fwd, _lin_bwd)
+
+
+def conv_patchable(module) -> bool:
+    """Engine support guard for nn.Conv — the same restrictions the
+    reference's C-model conv enforces before falling back to the framework
+    op (cmodel/simple.py:98-103): 2-D, no dilation, no groups, uniform
+    stride, SAME/VALID or symmetric explicit padding."""
+    try:
+        if len(module.kernel_size) != 2:
+            return False
+        if getattr(module, "feature_group_count", 1) != 1:
+            return False
+        for d in (module.kernel_dilation, module.input_dilation):
+            if d not in (1, None) and tuple(d) != (1, 1):
+                return False
+        pad = module.padding
+        if isinstance(pad, str):
+            if pad.upper() not in ("SAME", "VALID"):
+                return False
+        return True
+    except Exception:
+        return False
+
+
+def engine_conv(x: jax.Array, kernel: jax.Array, bias,
+                strides, padding, cfg: ModuleQuantConfig,
+                key: Optional[jax.Array] = None,
+                interpret: Optional[bool] = None) -> jax.Array:
+    """NHWC conv2d through the fused engine: im2col + engine matmul.
+
+    The reference monkey-patches torch.conv2d onto its C-model engine
+    (qutils.py:499-509; fwd/bp/wu at simple_conv2d_impl.cpp:373-670).
+    Here the forward contraction is one engine matmul over the im2col
+    patches; the backward falls out of autodiff: d(col) @ W^T and
+    col^T @ g run through the engine matmul's custom VJP, and the
+    im2col VJP is XLA's native col2im scatter.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kh, kw, cin, cout = kernel.shape
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    B = x.shape[0]
+    # Patches arrive channel-major: feature dim ordered (Cin, KH, KW).
+    col = jax.lax.conv_general_dilated_patches(
+        x.astype(jnp.float32), (kh, kw), tuple(strides), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    oh, ow = col.shape[1], col.shape[2]
+    w2d = kernel.astype(jnp.float32).transpose(2, 0, 1, 3).reshape(
+        cin * kh * kw, cout)
+    seed = _seed_of(key)
+    out = patched_linear(col.reshape(B * oh * ow, cin * kh * kw), w2d,
+                         seed, cfg, interpret)
+    out = out.reshape(B, oh, ow, cout).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
 
 
 def engine_matmul(a: jax.Array, b: jax.Array, cfg: ModuleQuantConfig,

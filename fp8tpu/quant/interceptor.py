@@ -183,11 +183,19 @@ def make_quant_interceptor(
         # Patched path requires engine-expressible iact scaling: the fused
         # kernel's operand scale is per-tensor, so per-channel/fine-grained
         # configs stay on the unpatched path (ADVICE r1).
-        patched = (cfg is not None and cfg.patch_ops
-                   and kind in (LayerKind.MATMUL, LayerKind.BATCH_MATMUL)
-                   and not kwargs
-                   and (cfg.iact is None
-                        or cfg.iact.scaling in ("none", "per-tensor")))
+        engine_ok = (cfg is not None and cfg.patch_ops and not kwargs
+                     and (cfg.iact is None
+                          or cfg.iact.scaling in ("none", "per-tensor")))
+        patched = engine_ok and kind in (LayerKind.MATMUL,
+                                         LayerKind.BATCH_MATMUL)
+        # Conv routes through the engine too (the reference patches
+        # torch.conv2d onto the C-model, qutils.py:499-509) when the
+        # module's geometry is engine-expressible.
+        patched_conv = False
+        if engine_ok and kind == LayerKind.CONV and len(args) == 1:
+            from .hw_patch import conv_patchable
+            patched_conv = conv_patchable(module)
+        patched = patched or patched_conv
         # On the patched path the engine quantizes the two contraction
         # operands in-register; pre-casting them here would double-quantize
         # (not idempotent for stochastic schemes).  Any other inputs (the
@@ -207,7 +215,15 @@ def make_quant_interceptor(
             args = _map_float_args(
                 lambda a: grad_cast(a, cfg.igrad, mod_key(2)), args)
 
-        if patched:
+        if patched_conv:
+            # HW-patched conv: im2col + engine matmul; weights come from
+            # the module's (already wt-quantized) params.
+            from .hw_patch import engine_conv
+            p = module.variables["params"]
+            bias = p.get("bias") if module.use_bias else None
+            out = engine_conv(args[0], p["kernel"], bias, module.strides,
+                              module.padding, cfg, mod_key(5))
+        elif patched:
             # HW-patched path: the contraction runs through the fused
             # Pallas engine with the iact casts done in-register
             # (enable_hw_patching analog; qutils.py:480-509).

@@ -11,8 +11,11 @@ from .model import (  # noqa: F401
     ServeConfig,
     convert_decoder_params,
     decode_step,
+    decode_step_paged,
     decode_steps,
+    decode_steps_paged,
     fp8_linear,
     prefill,
+    prefill_paged,
     random_serve_params,
 )

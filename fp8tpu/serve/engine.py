@@ -17,8 +17,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .kv_cache import RingKVCache
-from .model import ServeConfig, decode_step, decode_steps, prefill
+from .kv_cache import PagedKVCache, RingKVCache
+from .model import (ServeConfig, decode_step, decode_steps,
+                    decode_steps_paged, prefill, prefill_paged)
 
 
 @dataclasses.dataclass
@@ -52,7 +53,8 @@ class ServingEngine:
 
     def __init__(self, params: Dict, cfg: ServeConfig, n_slots: int = 8,
                  max_seq: Optional[int] = None, seed: int = 0,
-                 chunk_size: int = 32):
+                 chunk_size: int = 32, use_paged: bool = False,
+                 page_size: int = 64, n_pages: Optional[int] = None):
         m = cfg.model
         self.params = params
         self.cfg = cfg
@@ -62,9 +64,23 @@ class ServingEngine:
         # between chunks for admission / EOS retirement.  The host round
         # trip is ~30 ms on a tunneled chip — large chunks amortize it.
         self.chunk_size = chunk_size
-        self.cache = RingKVCache.create(m.n_layers, n_slots, self.max_seq,
-                                        m.n_kv_heads, m.head_dim,
-                                        cfg.kv_fmt)
+        # Ring (throughput, per-slot sliding window of max_seq) or paged
+        # pool (long context: each slot holds up to max_seq tokens exactly,
+        # memory allocated page-wise, reclaimed on retirement).
+        self.use_paged = use_paged
+        if use_paged:
+            max_pages = -(-self.max_seq // page_size)
+            if n_pages is None:
+                n_pages = n_slots * max_pages
+            self.cache = PagedKVCache.create(
+                n_pages, page_size, m.n_layers, n_slots, max_pages,
+                m.n_kv_heads, m.head_dim, cfg.kv_fmt)
+            self.free_pages: List[int] = list(range(n_pages))
+            self._slot_pages: List[List[int]] = [[] for _ in range(n_slots)]
+        else:
+            self.cache = RingKVCache.create(m.n_layers, n_slots,
+                                            self.max_seq, m.n_kv_heads,
+                                            m.head_dim, cfg.kv_fmt)
         self.slots: List[Optional[_SlotState]] = [None] * n_slots
         self.queue: List[Request] = []
         self.finished: Dict[int, List[int]] = {}
@@ -89,15 +105,29 @@ class ServingEngine:
 
     # -- scheduler -------------------------------------------------------
     def _chunk_len(self) -> int:
-        active = [s for s in self.slots if s is not None]
+        active = [(i, s) for i, s in enumerate(self.slots) if s is not None]
         # The ring cache wraps: context beyond max_seq slides (per-slot
-        # window), so only the generation budget bounds the chunk.
-        budget = min(s.remaining for s in active)
+        # window), so only the generation budget bounds the chunk.  Paged
+        # slots are additionally bounded by their mapped capacity.
+        budget = min(s.remaining for _, s in active)
+        if self.use_paged:
+            cap = min(len(self._slot_pages[i]) * self.cache.page_size
+                      - s.pos for i, s in active)
+            budget = min(budget, max(cap, 1))
         # Bucket to powers of two so only a few n_steps programs compile.
         chunk = 1
         while chunk * 2 <= min(budget, self.chunk_size):
             chunk *= 2
         return max(chunk, 1)
+
+    def _retire(self, i: int):
+        st = self.slots[i]
+        self.finished[st.uid] = st.tokens
+        self.slots[i] = None
+        if self.use_paged:
+            self.free_pages.extend(self._slot_pages[i])
+            self._slot_pages[i] = []
+            self.cache = self.cache.free_slot(jnp.int32(i))
 
     def step(self):
         self._admit()
@@ -108,7 +138,8 @@ class ServingEngine:
             self.slots[i].temperature if self.slots[i] else 0.0
             for i in range(self.n_slots)], jnp.float32)
         self.key, sub = jax.random.split(self.key)
-        toks, self.cache = decode_steps(
+        decode = decode_steps_paged if self.use_paged else decode_steps
+        toks, self.cache = decode(
             self.params, self.cache, jnp.asarray(self._tokens),
             jnp.asarray(self._positions), sub, temps, chunk, self.cfg)
         toks = np.asarray(toks)                     # (B, chunk)
@@ -122,8 +153,7 @@ class ServingEngine:
                 st.remaining -= 1
                 if (st.remaining <= 0 or st.pos >= self.max_seq - 1
                         or (st.eos_id is not None and tok == st.eos_id)):
-                    self.finished[st.uid] = st.tokens
-                    self.slots[i] = None
+                    self._retire(i)
                     break
             if self.slots[i] is not None:
                 self._tokens[i] = int(toks[i, chunk - 1])
@@ -133,12 +163,27 @@ class ServingEngine:
         for i in range(self.n_slots):
             if self.slots[i] is not None or not self.queue:
                 continue
-            req = self.queue.pop(0)
+            req = self.queue[0]
             prompt = req.prompt[-(self.max_seq - req.max_new_tokens - 1):]
+            if self.use_paged:
+                # Map enough pages for prompt + generation budget up front;
+                # stay queued if the pool can't satisfy it yet.
+                need_tokens = min(len(prompt) + req.max_new_tokens + 1,
+                                  self.max_seq)
+                psz = self.cache.page_size
+                need = -(-need_tokens // psz)
+                if len(self.free_pages) < need:
+                    continue
+                pages = [self.free_pages.pop() for _ in range(need)]
+                self._slot_pages[i] = pages
+                self.cache = self.cache.assign_pages(
+                    i, jnp.arange(need), jnp.asarray(pages, jnp.int32))
+            self.queue.pop(0)
             bucket = min(_bucket(len(prompt)), self.max_seq)
             padded = np.zeros((bucket,), np.int32)
             padded[:len(prompt)] = prompt
-            logits, self.cache = prefill(
+            do_prefill = prefill_paged if self.use_paged else prefill
+            logits, self.cache = do_prefill(
                 self.params, self.cache, jnp.asarray(padded),
                 jnp.int32(i), jnp.int32(len(prompt)), self.cfg)
             first = self._sample(logits[None])[0]
@@ -151,8 +196,7 @@ class ServingEngine:
             # First sampled token counts toward the budget.
             self.slots[i].remaining -= 1
             if self.slots[i].remaining <= 0:
-                self.finished[req.uid] = self.slots[i].tokens
-                self.slots[i] = None
+                self._retire(i)
 
     def _sample(self, logits: jax.Array) -> np.ndarray:
         temps = np.array([

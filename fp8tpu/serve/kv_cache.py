@@ -189,77 +189,113 @@ class KVCache:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PagedKVCache:
-    """Paged FP8 KV pool for long-context serving.
+    """Paged FP8 KV pool — the long-context serving cache.
 
-    Pages of ``page_size`` tokens live in one physical pool; each sequence
-    owns a row of the page table mapping logical page → physical page.
-    Reads gather pages back into a contiguous (S, KV, D) view per slot —
-    XLA lowers the gather to dynamic slices over the pool.
+    Pages of ``page_size`` tokens live in one physical pool shared by all
+    slots; each slot owns a row of the page table mapping logical page →
+    physical page.  Unlike the ring cache (per-slot sliding window of S),
+    a slot's context grows to ``max_pages * page_size`` tokens, bounded by
+    pool capacity, and pages are reclaimed on retirement — vLLM-style
+    memory management, TPU-shaped (static shapes, gather by page id).
 
-    pool_k8/pool_v8: (P, page, KV, D) fp8; scales (P, page, KV) f32
-    page_table: (slots, max_pages) int32 (physical page ids, -1 = unmapped)
+    Per-step cost vs the ring: decode attention gathers the mapped pages
+    into a contiguous view before the attention einsums, which costs one
+    extra write+read of the live KV bytes (measured ~1.3-1.6x the ring's
+    step time at bench shapes — see tools/bench_paged.py).  That premium
+    buys unbounded context and page sharing; a Pallas paged-attention
+    kernel with per-page DMA would remove it and is future work.
+
+    Layouts keep the flattened (page_size*KV) axis second-minor so fp8's
+    (32, 128) tile never pads (NOTES.md):
+
+      pool (P, 2, L, page_size*KV, D)   fp8/bf16, k at index 0, v at 1
+      sc   (P, 2, L, page_size*KV)      f32 per-head-vector scales
+      page_table (B, max_pages)         int32 physical ids, -1 = unmapped
     """
 
-    pool_k8: jax.Array
-    pool_v8: jax.Array
-    pool_k_scale: jax.Array
-    pool_v_scale: jax.Array
+    pool: jax.Array
+    sc: jax.Array
     page_table: jax.Array
+    kv_heads: int = dataclasses.field(metadata=dict(static=True))
 
     @staticmethod
-    def create(n_pages: int, page_size: int, kv_heads: int, head_dim: int,
-               n_slots: int, max_pages_per_seq: int,
+    def create(n_pages: int, page_size: int, n_layers: int, n_slots: int,
+               max_pages: int, kv_heads: int, head_dim: int,
                fmt: str = "e4m3") -> "PagedKVCache":
         dt = _FP8_DTYPES[fmt]
+        r = page_size * kv_heads
         return PagedKVCache(
-            pool_k8=jnp.zeros((n_pages, page_size, kv_heads, head_dim), dt),
-            pool_v8=jnp.zeros((n_pages, page_size, kv_heads, head_dim), dt),
-            pool_k_scale=jnp.ones((n_pages, page_size, kv_heads),
-                                  jnp.float32),
-            pool_v_scale=jnp.ones((n_pages, page_size, kv_heads),
-                                  jnp.float32),
-            page_table=-jnp.ones((n_slots, max_pages_per_seq), jnp.int32),
+            pool=jnp.zeros((n_pages, 2, n_layers, r, head_dim), dt),
+            sc=jnp.ones((n_pages, 2, n_layers, r), jnp.float32),
+            page_table=-jnp.ones((n_slots, max_pages), jnp.int32),
+            kv_heads=kv_heads,
         )
 
     @property
     def fmt(self) -> str:
         return {jnp.float8_e4m3fn: "e4m3", jnp.float8_e5m2: "e5m2",
-                jnp.bfloat16: "bf16"}[jnp.dtype(self.pool_k8.dtype).type]
+                jnp.bfloat16: "bf16"}[jnp.dtype(self.pool.dtype).type]
 
     @property
     def page_size(self) -> int:
-        return self.pool_k8.shape[1]
+        return self.pool.shape[3] // self.kv_heads
 
-    def assign_page(self, slot: jax.Array, logical_page: jax.Array,
-                    physical_page: jax.Array) -> "PagedKVCache":
+    @property
+    def max_pages(self) -> int:
+        return self.page_table.shape[1]
+
+    @property
+    def max_seq(self) -> int:
+        return self.max_pages * self.page_size
+
+    @property
+    def n_slots(self) -> int:
+        return self.page_table.shape[0]
+
+    def assign_pages(self, slot, logical_pages, physical_pages
+                     ) -> "PagedKVCache":
+        """Map physical pages into a slot's table (host-side admission)."""
         return dataclasses.replace(
-            self,
-            page_table=self.page_table.at[slot, logical_page].set(
-                physical_page))
+            self, page_table=self.page_table.at[slot, logical_pages].set(
+                physical_pages))
 
-    def write_token(self, slot: jax.Array, pos: jax.Array, k: jax.Array,
-                    v: jax.Array) -> "PagedKVCache":
-        """Append one token's (KV, D) k/v for a slot at position ``pos``."""
-        k8, ks = quantize_kv(k, self.fmt)
-        v8, vs = quantize_kv(v, self.fmt)
-        page = self.page_table[slot, pos // self.page_size]
-        off = pos % self.page_size
+    def free_slot(self, slot) -> "PagedKVCache":
         return dataclasses.replace(
-            self,
-            pool_k8=self.pool_k8.at[page, off].set(k8),
-            pool_v8=self.pool_v8.at[page, off].set(v8),
-            pool_k_scale=self.pool_k_scale.at[page, off].set(ks[..., 0]),
-            pool_v_scale=self.pool_v_scale.at[page, off].set(vs[..., 0]),
-        )
+            self, page_table=self.page_table.at[slot].set(-1))
 
-    def gather_slot(self, slot: jax.Array) -> Tuple[jax.Array, jax.Array,
-                                                    jax.Array, jax.Array]:
-        """Materialize a contiguous fp8 (max_seq, KV, D) view of a slot's
-        pages (still fp8 — no dequant)."""
-        pages = self.page_table[slot]                    # (max_pages,)
-        safe = jnp.maximum(pages, 0)
-        k8 = self.pool_k8[safe].reshape(-1, *self.pool_k8.shape[2:])
-        v8 = self.pool_v8[safe].reshape(-1, *self.pool_v8.shape[2:])
-        ks = self.pool_k_scale[safe].reshape(-1, self.pool_k_scale.shape[2])
-        vs = self.pool_v_scale[safe].reshape(-1, self.pool_v_scale.shape[2])
-        return k8, v8, ks, vs
+    def write_step(self, fk8: jax.Array, fks: jax.Array, fv8: jax.Array,
+                   fvs: jax.Array, pos: jax.Array) -> "PagedKVCache":
+        """Scatter one decode step's fresh k/v for every slot.
+
+        fk8/fv8: (L, B, KV, D) quantized payloads; fks/fvs: (L, B, KV);
+        pos: (B,) each slot's write position.  Slot b's token lands in
+        page ``page_table[b, pos_b // page]`` at row offset
+        ``(pos_b % page) * KV``.
+        """
+        KV = self.kv_heads
+        B = pos.shape[0]
+        pg = jnp.take_along_axis(
+            self.page_table, (pos // self.page_size)[:, None], axis=1)[:, 0]
+        pg = jnp.maximum(pg, 0)                       # unmapped → page 0
+        rows = (pos % self.page_size)[:, None] * KV + jnp.arange(KV)[None]
+        # updates indexed (B, KV, L, D) / (B, KV, L)
+        uk8 = fk8.transpose(1, 2, 0, 3)
+        uv8 = fv8.transpose(1, 2, 0, 3)
+        uks = fks.transpose(1, 2, 0)
+        uvs = fvs.transpose(1, 2, 0)
+        pool = self.pool
+        sc = self.sc
+        pool = pool.at[pg[:, None], 0, :, rows, :].set(
+            uk8.astype(pool.dtype))
+        pool = pool.at[pg[:, None], 1, :, rows, :].set(
+            uv8.astype(pool.dtype))
+        sc = sc.at[pg[:, None], 0, :, rows].set(uks)
+        sc = sc.at[pg[:, None], 1, :, rows].set(uvs)
+        return dataclasses.replace(self, pool=pool, sc=sc)
+
+    def gather(self) -> Tuple[jax.Array, jax.Array]:
+        """Materialize every slot's mapped pages as a contiguous view:
+        returns (kv8 (B, MP, 2, L, page*KV, D), sc (B, MP, 2, L, page*KV)).
+        This is the documented per-step gather cost of the paged path."""
+        safe = jnp.maximum(self.page_table, 0)
+        return self.pool[safe], self.sc[safe]

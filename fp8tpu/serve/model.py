@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from fp8tpu.kernels.inplace import dyn_store
 from fp8tpu.kernels.qmatmul import quantize_weights
 from fp8tpu.models.transformer import DecoderConfig, rope_freqs
-from .kv_cache import RingKVCache, quantize_kv
+from .kv_cache import PagedKVCache, RingKVCache, quantize_kv
 
 _FP8_DTYPES = {"e4m3": jnp.float8_e4m3fn, "e5m2": jnp.float8_e5m2}
 _NEG = -1e30  # finite mask value keeps exp() NaN-free for empty slots
@@ -532,3 +532,259 @@ def prefill(params: Dict, ring: RingKVCache, tokens: jax.Array,
     h_last = _rms(h_last, params["final_norm"], mcfg.norm_eps)
     logits = _lm_head(params, h_last)[0]
     return logits, RingKVCache(kv8, sc, ring.head)
+
+
+# ---------------------------------------------------------------------------
+# Paged decode (long-context serving: context bounded by page pool, not ring)
+# ---------------------------------------------------------------------------
+
+def _attend_paged(q, kq8, kqs, vq8, vqs, kp8, kps, vp8, vps, lens,
+                  page_size: int, cfg: DecoderConfig):
+    """Decode attention over gathered pages + the fresh token.
+
+    q: (B,H,D); fresh kq8/vq8 (B,KV,D) with scales (B,KV);
+    gathered kp8/vp8: (B, MP, page*KV, D) with scales (B, MP, page*KV);
+    lens: (B,) tokens already stored (the fresh one is separate).
+    Token (m, p) of slot b is valid iff m*page + p < lens[b] — pages are
+    logically ordered, so no ring aging.
+    """
+    B, H, D = q.shape
+    KV = kq8.shape[1]
+    G = H // KV
+    MP = kp8.shape[1]
+    S = MP * page_size
+    qg = (q.astype(jnp.float32)
+          / jnp.sqrt(D).astype(jnp.float32)).astype(q.dtype)
+    qh = qg.reshape(B, KV, G, D)
+
+    kp = kp8.reshape(B, MP, page_size, KV, D)
+    vp = vp8.reshape(B, MP, page_size, KV, D)
+    kss = kps.reshape(B, MP, page_size, KV).transpose(0, 3, 1, 2)
+    vss = vps.reshape(B, MP, page_size, KV).transpose(0, 3, 1, 2)
+
+    scores = jnp.einsum(
+        "bkgd,bmpkd->bkgmp", qh, kp.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * kss[:, :, None]                                  # (B,KV,G,MP,page)
+    posidx = (jnp.arange(MP)[:, None] * page_size
+              + jnp.arange(page_size)[None, :])          # (MP, page)
+    mask = posidx[None] < lens[:, None, None]            # (B, MP, page)
+    scores = jnp.where(mask[:, None, None], scores, _NEG)
+    scores = scores.reshape(B, KV, G, S)
+
+    score_self = jnp.einsum(
+        "bkgd,bkd->bkg", qh, kq8.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * kqs[:, :, None]
+
+    m = jnp.maximum(jnp.max(scores, axis=-1), score_self)
+    pc = jnp.exp(scores - m[..., None])
+    ps = jnp.exp(score_self - m)
+    l = pc.sum(-1) + ps
+
+    pcs = (pc.reshape(B, KV, G, MP, page_size)
+           * vss[:, :, None]).astype(q.dtype)
+    ctx = jnp.einsum(
+        "bkgmp,bmpkd->bkgd", pcs, vp.astype(q.dtype),
+        preferred_element_type=jnp.float32)
+    ctx = ctx + ((ps * vqs[:, :, None])[..., None]
+                 * vq8.astype(jnp.float32)[:, :, None, :])
+    ctx = ctx / l[..., None]
+    return ctx.reshape(B, H * D).astype(q.dtype)
+
+
+def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
+                      positions: jax.Array, key: jax.Array,
+                      temperature: jax.Array, n_steps: int,
+                      cfg: ServeConfig, want_logits: bool):
+    """Chunked decode over the paged pool.
+
+    Per-step cost note: the mapped pages are gathered into a contiguous
+    (B, MP, ...) view every step before the attention einsums — one extra
+    write+read of the live KV bytes vs the ring path (PagedKVCache
+    docstring).  The ring remains the throughput path; this one lifts the
+    context ceiling to the page pool size.
+    """
+    mcfg = cfg.model
+    H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
+    B = tokens.shape[0]
+    linear = _make_linear(cfg)
+    inv_freq = rope_freqs(mcfg)
+    page = paged.page_size
+
+    def one(carry, step_key):
+        toks, pos, paged = carry
+        h = _embed_lookup(params, toks)
+
+        ang = pos[:, None].astype(jnp.float32) * inv_freq
+        cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+        def rope1(x):
+            x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+            c, s = cos[:, None], sin[:, None]
+            return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
+                                   axis=-1).astype(x.dtype)
+
+        lens = jnp.minimum(pos, paged.max_seq)
+        kv_pages, sc_pages = paged.gather()
+
+        def layer_step(lcarry, xs):
+            h, li = lcarry
+            (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
+             gate8, gates, up8, ups, down8, downs) = xs
+
+            x = _rms(h, attn_norm, mcfg.norm_eps)
+            q = linear(x, q8, qs).reshape(B, H, D)
+            k = linear(x, k8w, ksw).reshape(B, KV, D)
+            v = linear(x, v8w, vsw).reshape(B, KV, D)
+            q, k = rope1(q), rope1(k)
+
+            kq8, kqs = quantize_kv(k, cfg.kv_fmt)
+            vq8, vqs = quantize_kv(v, cfg.kv_fmt)
+
+            ctx = _attend_paged(
+                q, kq8, kqs[..., 0], vq8, vqs[..., 0],
+                kv_pages[:, :, 0, li], sc_pages[:, :, 0, li],
+                kv_pages[:, :, 1, li], sc_pages[:, :, 1, li],
+                lens, page, mcfg)
+            h = h + linear(ctx, o8, osw)
+
+            x = _rms(h, mlp_norm, mcfg.norm_eps)
+            act = jax.nn.silu(linear(x, gate8, gates).astype(
+                jnp.float32)).astype(x.dtype) * linear(x, up8, ups)
+            h = h + linear(act, down8, downs)
+            return (h, li + 1), (kq8, kqs[..., 0], vq8, vqs[..., 0])
+
+        (h, _), (fk8, fks, fv8, fvs) = jax.lax.scan(
+            layer_step, (h, jnp.int32(0)), _layer_xs(params))
+        paged = paged.write_step(fk8, fks, fv8, fvs, pos)
+
+        h = _rms(h, params["final_norm"], mcfg.norm_eps)
+        logits = _lm_head(params, h)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+        sampled = jax.random.categorical(step_key, scaled,
+                                         axis=-1).astype(jnp.int32)
+        nxt = jnp.where(temperature > 0, sampled, greedy)
+        out = logits if want_logits else nxt
+        return (nxt, pos + 1, paged), out
+
+    keys = jax.random.split(key, n_steps)
+    (_, _, paged), outs = jax.lax.scan(one, (tokens, positions, paged),
+                                       keys)
+    return outs, paged
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"),
+         donate_argnames=("paged",))
+def decode_steps_paged(params: Dict, paged: PagedKVCache,
+                       tokens: jax.Array, positions: jax.Array,
+                       key: jax.Array, temperature: jax.Array,
+                       n_steps: int, cfg: ServeConfig
+                       ) -> Tuple[jax.Array, PagedKVCache]:
+    """``n_steps`` decode steps over the paged KV pool (long-context
+    twin of :func:`decode_steps`).  Returns (tokens (B, n_steps), pool)."""
+    toks, paged = _steps_impl_paged(params, paged, tokens, positions, key,
+                                    temperature, n_steps, cfg,
+                                    want_logits=False)
+    return toks.T, paged
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("paged",))
+def decode_step_paged(params: Dict, paged: PagedKVCache,
+                      tokens: jax.Array, positions: jax.Array,
+                      cfg: ServeConfig) -> Tuple[jax.Array, PagedKVCache]:
+    """One paged decode step; returns (logits (B, V) f32, pool)."""
+    logits, paged = _steps_impl_paged(
+        params, paged, tokens, positions, jax.random.key(0),
+        jnp.zeros(tokens.shape, jnp.float32), 1, cfg, want_logits=True)
+    return logits[0], paged
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("paged",))
+def prefill_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
+                  slot: jax.Array, length: jax.Array, cfg: ServeConfig
+                  ) -> Tuple[jax.Array, PagedKVCache]:
+    """Prefill one slot's prompt into its mapped pages.
+
+    Same dense causal forward as :func:`prefill`; token i lands in the
+    slot's logical page ``i // page_size`` at offset ``i % page_size``.
+    Padding rows (i >= length) are dropped (out-of-range scatter)."""
+    mcfg = cfg.model
+    H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
+    Sp = tokens.shape[0]
+    page = paged.page_size
+    linear = _make_linear(cfg)
+
+    h = _embed_lookup(params, tokens)
+    inv_freq = rope_freqs(mcfg)
+    pos = jnp.arange(Sp)
+    ang = pos[:, None].astype(jnp.float32) * inv_freq
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    def rope1(x):
+        x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+        c, s = cos[:, None], sin[:, None]
+        return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
+                               axis=-1).astype(x.dtype)
+
+    causal = pos[None, :] <= pos[:, None]
+
+    def layer_step(carry, xs):
+        h, li = carry
+        (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
+         gate8, gates, up8, ups, down8, downs) = xs
+
+        x = _rms(h, attn_norm, mcfg.norm_eps)
+        q = linear(x, q8, qs).reshape(Sp, H, D)
+        k = linear(x, k8w, ksw).reshape(Sp, KV, D)
+        v = linear(x, v8w, vsw).reshape(Sp, KV, D)
+        q, k = rope1(q), rope1(k)
+
+        kq8, kqs = quantize_kv(k, cfg.kv_fmt)
+        vq8, vqs = quantize_kv(v, cfg.kv_fmt)
+
+        G = H // KV
+        qg = q.reshape(Sp, KV, G, D)
+        scores = jnp.einsum("skgd,tkd->skgt", qg.astype(jnp.float32),
+                            k.astype(jnp.float32)) / jnp.sqrt(D)
+        scores = jnp.where(causal[:, None, None, :], scores, _NEG)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("skgt,tkd->skgd", probs, v.astype(jnp.float32))
+        ctx = ctx.reshape(Sp, H * D).astype(jnp.bfloat16)
+        h = h + linear(ctx, o8, osw)
+
+        x = _rms(h, mlp_norm, mcfg.norm_eps)
+        act = jax.nn.silu(linear(x, gate8, gates).astype(
+            jnp.float32)).astype(x.dtype) * linear(x, up8, ups)
+        h = h + linear(act, down8, downs)
+        return (h, li + 1), (kq8, kqs[..., 0], vq8, vqs[..., 0])
+
+    h = h.astype(jnp.bfloat16)
+    (h, _), (pk8, pks, pv8, pvs) = jax.lax.scan(
+        layer_step, (h, jnp.int32(0)), _layer_xs(params))
+    # pk8: (L, Sp, KV, D).  Scatter each prompt token into the slot's
+    # pages; invalid (padding) rows get an out-of-range page id and drop.
+    tpos = jnp.arange(Sp)
+    pg = paged.page_table[slot, tpos // page]             # (Sp,)
+    n_pages_total = paged.pool.shape[0]
+    pg = jnp.where((tpos < length) & (pg >= 0), pg, n_pages_total)
+    rows = (tpos % page)[:, None] * KV + jnp.arange(KV)[None]   # (Sp, KV)
+    uk8 = pk8.transpose(1, 2, 0, 3)                       # (Sp, KV, L, D)
+    uv8 = pv8.transpose(1, 2, 0, 3)
+    uks = pks.transpose(1, 2, 0)
+    uvs = pvs.transpose(1, 2, 0)
+    pool = paged.pool
+    sc = paged.sc
+    pool = pool.at[pg[:, None], 0, :, rows, :].set(
+        uk8.astype(pool.dtype), mode="drop")
+    pool = pool.at[pg[:, None], 1, :, rows, :].set(
+        uv8.astype(pool.dtype), mode="drop")
+    sc = sc.at[pg[:, None], 0, :, rows].set(uks, mode="drop")
+    sc = sc.at[pg[:, None], 1, :, rows].set(uvs, mode="drop")
+    paged = dataclasses.replace(paged, pool=pool, sc=sc)
+
+    h_last = jax.lax.dynamic_slice_in_dim(h, length - 1, 1, axis=0)
+    h_last = _rms(h_last, params["final_norm"], mcfg.norm_eps)
+    logits = _lm_head(params, h_last)[0]
+    return logits, paged

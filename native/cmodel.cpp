@@ -21,6 +21,13 @@
 //                        int64_t N, int64_t H, int64_t Wd, int64_t Cin,
 //                        int64_t KH, int64_t KW, int64_t Cout,
 //                        int64_t stride, int64_t pad, int round_bf16);
+//   int cmodel_conv2d_bp(const float* dY, const float* W, float* dX, ...)
+//       gradient w.r.t. the input (reference engine: gemm_kernel_conv_bp,
+//       simple_conv2d_impl.cpp:472-572) — dcol = dY @ W^T on the tile
+//       engine, then col2im scatter-add.
+//   int cmodel_conv2d_wu(const float* X, const float* dY, float* dW, ...)
+//       gradient w.r.t. the weights (gemm_kernel_conv_wu,
+//       simple_conv2d_impl.cpp:574-670) — dW = col(X)^T @ dY.
 // Returns 0 on success, negative on bad arguments.
 
 #include <cstdint>
@@ -140,6 +147,86 @@ int cmodel_conv2d_fp(const float* X, const float* W, float* Y,
   // Y (M, Cout) = col (M, Kdim) @ W (Kdim, Cout)
   return cmodel_gemm(col.data(), W, Y, M, Cout, Kdim, 0, 0, 1.0f, 0.0f,
                      128, 0, round_bf16);
+}
+
+// Backward-data: dX (N,H,Wd,Cin) from dY (N,OH,OW,Cout) and
+// W (KH*KW*Cin, Cout).  One engine GEMM (dY @ W^T) then the col2im
+// scatter-add inverse of the forward's im2col gather.
+int cmodel_conv2d_bp(const float* dY, const float* W, float* dX,
+                     int64_t N, int64_t H, int64_t Wd, int64_t Cin,
+                     int64_t KH, int64_t KW, int64_t Cout,
+                     int64_t stride, int64_t pad, int round_bf16) {
+  if (!dY || !W || !dX || stride <= 0) return -1;
+  const int64_t OH = (H + 2 * pad - KH) / stride + 1;
+  const int64_t OW = (Wd + 2 * pad - KW) / stride + 1;
+  if (OH <= 0 || OW <= 0) return -2;
+  const int64_t M = N * OH * OW;
+  const int64_t Kdim = KH * KW * Cin;
+
+  // dcol (M, Kdim) = dY (M, Cout) @ W^T (Cout, Kdim)
+  std::vector<float> dcol(static_cast<size_t>(M) * Kdim, 0.0f);
+  int rc = cmodel_gemm(dY, W, dcol.data(), M, Kdim, Cout, 0, /*b_trans=*/1,
+                       1.0f, 0.0f, 128, 0, round_bf16);
+  if (rc != 0) return rc;
+
+  std::memset(dX, 0, sizeof(float) * N * H * Wd * Cin);
+  // Parallelize over images: each image's scatter targets are disjoint.
+#pragma omp parallel for schedule(static)
+  for (int64_t n = 0; n < N; ++n) {
+    for (int64_t oh = 0; oh < OH; ++oh) {
+      for (int64_t ow = 0; ow < OW; ++ow) {
+        const float* row = &dcol[((n * OH + oh) * OW + ow) * Kdim];
+        for (int64_t kh = 0; kh < KH; ++kh) {
+          const int64_t ih = oh * stride + kh - pad;
+          if (ih < 0 || ih >= H) continue;
+          for (int64_t kw = 0; kw < KW; ++kw) {
+            const int64_t iw = ow * stride + kw - pad;
+            if (iw < 0 || iw >= Wd) continue;
+            float* dst = &dX[((n * H + ih) * Wd + iw) * Cin];
+            const float* src = &row[(kh * KW + kw) * Cin];
+            for (int64_t c = 0; c < Cin; ++c) dst[c] += src[c];
+          }
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+// Backward-weight: dW (KH*KW*Cin, Cout) = col(X)^T (Kdim, M) @ dY (M, Cout)
+// — the forward's im2col followed by one transposed engine GEMM.
+int cmodel_conv2d_wu(const float* X, const float* dY, float* dW,
+                     int64_t N, int64_t H, int64_t Wd, int64_t Cin,
+                     int64_t KH, int64_t KW, int64_t Cout,
+                     int64_t stride, int64_t pad, int round_bf16) {
+  if (!X || !dY || !dW || stride <= 0) return -1;
+  const int64_t OH = (H + 2 * pad - KH) / stride + 1;
+  const int64_t OW = (Wd + 2 * pad - KW) / stride + 1;
+  if (OH <= 0 || OW <= 0) return -2;
+  const int64_t M = N * OH * OW;
+  const int64_t Kdim = KH * KW * Cin;
+
+  std::vector<float> col(static_cast<size_t>(M) * Kdim, 0.0f);
+#pragma omp parallel for schedule(static)
+  for (int64_t m = 0; m < M; ++m) {
+    const int64_t n = m / (OH * OW);
+    const int64_t oh = (m / OW) % OH;
+    const int64_t ow = m % OW;
+    float* row = &col[m * Kdim];
+    for (int64_t kh = 0; kh < KH; ++kh) {
+      const int64_t ih = oh * stride + kh - pad;
+      if (ih < 0 || ih >= H) continue;
+      for (int64_t kw = 0; kw < KW; ++kw) {
+        const int64_t iw = ow * stride + kw - pad;
+        if (iw < 0 || iw >= Wd) continue;
+        const float* src = &X[((n * H + ih) * Wd + iw) * Cin];
+        std::memcpy(&row[(kh * KW + kw) * Cin], src, sizeof(float) * Cin);
+      }
+    }
+  }
+  std::memset(dW, 0, sizeof(float) * Kdim * Cout);
+  return cmodel_gemm(col.data(), dY, dW, Kdim, Cout, M, /*a_trans=*/1, 0,
+                     1.0f, 0.0f, 128, 0, round_bf16);
 }
 
 }  // extern "C"

@@ -77,3 +77,30 @@ def test_conv2d_fp_matches_lax(rng):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4,
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("stride,pad", [(1, 1), (2, 2)])
+def test_conv2d_bp_wu_match_autodiff(rng, stride, pad):
+    """Native conv bwd-data/bwd-weight vs jax autodiff ground truth — the
+    reference's conv_grad_test.py equivalent (engine bp/wu at
+    simple_conv2d_impl.cpp:472-670)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    w = rng.standard_normal((3, 3, 4, 6)).astype(np.float32)
+
+    def f(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    y, vjp = jax.vjp(f, jnp.asarray(x), jnp.asarray(w))
+    g = rng.standard_normal(y.shape).astype(np.float32)
+    dx_ref, dw_ref = vjp(jnp.asarray(g))
+
+    dx, dw = cmodel.conv2d_vjp(x, w, g, stride=stride, pad=pad,
+                               round_bf16=False)
+    np.testing.assert_allclose(dx, np.asarray(dx_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(dw, np.asarray(dw_ref), rtol=1e-3, atol=1e-3)

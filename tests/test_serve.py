@@ -140,21 +140,105 @@ def test_engine_batch_isolation(setup):
     assert solo[0] == paired[0]
 
 
-def test_paged_cache_roundtrip(rng):
-    pc = PagedKVCache.create(n_pages=8, page_size=4, kv_heads=2, head_dim=8,
-                             n_slots=2, max_pages_per_seq=4)
-    pc = pc.assign_page(jnp.int32(0), jnp.int32(0), jnp.int32(3))
-    pc = pc.assign_page(jnp.int32(0), jnp.int32(1), jnp.int32(5))
-    ks, vs = [], []
-    for pos in range(6):
-        k = jnp.asarray(rng.normal(0, 1, (2, 8)).astype(np.float32))
-        v = jnp.asarray(rng.normal(0, 1, (2, 8)).astype(np.float32))
-        ks.append(k); vs.append(v)
-        pc = pc.write_token(jnp.int32(0), jnp.int32(pos), k, v)
-    k8, v8, kss, vss = pc.gather_slot(jnp.int32(0))
-    assert k8.shape == (16, 2, 8)
-    for pos in range(6):
-        deq = np.asarray(k8[pos].astype(jnp.float32)) * np.asarray(
-            kss[pos])[:, None]
-        np.testing.assert_allclose(deq, np.asarray(ks[pos]), rtol=0.08,
-                                   atol=0.02)
+def _paged_pool(cfg, n_slots=2, n_pages=16, page_size=8, max_pages=8):
+    pc = PagedKVCache.create(n_pages, page_size, cfg.n_layers, n_slots,
+                             max_pages, cfg.n_kv_heads, cfg.head_dim,
+                             "e4m3")
+    # identity page mapping: slot b gets pages [b*max_pages ...)
+    for b in range(n_slots):
+        pc = pc.assign_pages(b, jnp.arange(max_pages),
+                             jnp.arange(max_pages) + b * max_pages)
+    return pc
+
+
+def test_paged_decode_matches_ring(setup):
+    """Paged decode (gather + page-table attention) must produce the same
+    greedy tokens as the ring path while context fits both."""
+    from fp8tpu.serve.model import decode_steps, decode_steps_paged
+    cfg, _, _, scfg, sparams = setup
+    B = 2
+    toks0 = jnp.asarray([3, 4], jnp.int32)
+    pos0 = jnp.asarray([0, 0], jnp.int32)
+
+    ring = RingKVCache.create(cfg.n_layers, B, 32, cfg.n_kv_heads,
+                              cfg.head_dim, "e4m3")
+    t_ring, _ = decode_steps(sparams, ring, toks0, pos0, jax.random.key(0),
+                             jnp.zeros((B,), jnp.float32), 8, scfg)
+
+    paged = _paged_pool(cfg)
+    t_paged, _ = decode_steps_paged(sparams, paged, toks0, pos0,
+                                    jax.random.key(0),
+                                    jnp.zeros((B,), jnp.float32), 8, scfg)
+    np.testing.assert_array_equal(np.asarray(t_ring), np.asarray(t_paged))
+
+
+def test_paged_prefill_then_decode_consistent(setup):
+    """Prefill into pages, decode incrementally; logits must match a fresh
+    paged prefill over the full sequence (page writes land correctly)."""
+    from fp8tpu.serve.model import decode_step_paged, prefill_paged
+    cfg, _, _, scfg, sparams = setup
+    prompt = jnp.asarray([3, 14, 15, 92], jnp.int32)
+    extra = [65, 35, 89]
+
+    pc = _paged_pool(cfg, n_slots=1)
+    logits, pc = prefill_paged(sparams, pc, jnp.pad(prompt, (0, 12)),
+                               jnp.int32(0), jnp.int32(4), scfg)
+    pos = 4
+    for t in extra:
+        logits, pc = decode_step_paged(sparams, pc,
+                                       jnp.asarray([t], jnp.int32),
+                                       jnp.asarray([pos], jnp.int32), scfg)
+        pos += 1
+    inc = np.asarray(logits[0])
+
+    pc2 = _paged_pool(cfg, n_slots=1)
+    full = jnp.asarray(list(prompt) + extra, jnp.int32)
+    logits2, _ = prefill_paged(sparams, pc2, jnp.pad(full, (0, 9)),
+                               jnp.int32(0), jnp.int32(7), scfg)
+    ref = np.asarray(logits2)
+    corr = np.corrcoef(inc, ref)[0, 1]
+    assert corr > 0.98, corr
+
+
+def test_paged_long_context_beyond_ring(setup):
+    """The paged pool must retain context LONGER than a ring of size S:
+    decode after S+ tokens still attends to the earliest tokens (a ring
+    would have slid past them).  VERDICT r1 §5."""
+    from fp8tpu.serve.model import decode_step_paged, prefill_paged
+    cfg, m, variables, scfg, sparams = setup
+    S_ring = 16                           # hypothetical ring this beats
+    total = 24                            # context longer than the ring
+    prompt = jnp.asarray((np.arange(total) * 7 + 3) % cfg.vocab_size,
+                         jnp.int32)
+
+    pc = _paged_pool(cfg, n_slots=1, n_pages=8, page_size=8, max_pages=4)
+    assert pc.max_seq == 32 > S_ring
+    logits, pc = prefill_paged(sparams, pc, jnp.pad(prompt, (0, 8)),
+                               jnp.int32(0), jnp.int32(total), scfg)
+    # one decode step at pos=total: attention must span all 24 tokens
+    logits, pc = decode_step_paged(
+        sparams, pc, jnp.asarray([prompt[-1]], jnp.int32),
+        jnp.asarray([total], jnp.int32), scfg)
+    # reference: the emulation model over the full 25-token sequence
+    seq = jnp.concatenate([prompt, prompt[-1:]])
+    ref = np.asarray(m.apply(variables, seq[None])[0][-1])
+    got = np.asarray(logits[0])
+    corr = np.corrcoef(got, ref)[0, 1]
+    assert corr > 0.98, corr
+
+
+def test_engine_paged_mode(setup):
+    """Continuous batching over the page pool: admission maps pages,
+    retirement frees them, outputs match the ring engine's."""
+    cfg, _, _, scfg, sparams = setup
+    ring_out = ServingEngine(sparams, scfg, n_slots=2, max_seq=64).run(
+        [Request(uid=0, prompt=[5, 6, 7], max_new_tokens=6)])
+    eng = ServingEngine(sparams, scfg, n_slots=2, max_seq=64,
+                        use_paged=True, page_size=8, n_pages=24)
+    paged_out = eng.run(
+        [Request(uid=0, prompt=[5, 6, 7], max_new_tokens=6),
+         Request(uid=1, prompt=[9, 8, 7, 6], max_new_tokens=5)])
+    assert paged_out[0] == ring_out[0]
+    assert len(paged_out[1]) == 5
+    # all pages returned to the free pool after retirement
+    assert len(eng.free_pages) == 24
