@@ -26,15 +26,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: int = 1, model: int = 1, seq: int = 1,
+              hosts: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, seq, model) mesh.  The model axis is innermost so
-    tensor-parallel collectives ride the fastest ICI links."""
+    """Build a (host, data, seq, model) mesh.
+
+    Axis order encodes the physical interconnect hierarchy: ``host`` is
+    the outermost (slowest) axis and maps to DCN between hosts; ``model``
+    is innermost so tensor-parallel collectives ride the fastest ICI
+    links.  Only data-parallel gradient/metric reductions should cross
+    the ``host`` axis (shard params/KV over ``model``/``data`` within a
+    slice); ``batch_sharding`` spans ("host", "data") accordingly.
+    When ``hosts`` is 1 the axis is size-1 and free.
+    """
     devices = list(devices if devices is not None else jax.devices())
-    n = data * model * seq
+    n = hosts * data * model * seq
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
-    dev_array = np.asarray(devices[:n]).reshape(data, seq, model)
-    return Mesh(dev_array, axis_names=("data", "seq", "model"))
+    dev_array = np.asarray(devices[:n]).reshape(hosts, data, seq, model)
+    return Mesh(dev_array, axis_names=("host", "data", "seq", "model"))
 
 
 # -- Decoder (training form) sharding rules: path glob → PartitionSpec ----
@@ -123,8 +132,10 @@ def shard_params(params, mesh: Mesh, rules=DECODER_PARAM_RULES):
 
 
 def batch_sharding(mesh: Mesh, seq_parallel: bool = False) -> NamedSharding:
-    """Input batch (B, S, ...): batch over data, optionally seq over seq."""
-    return NamedSharding(mesh, P("data", "seq" if seq_parallel else None))
+    """Input batch (B, S, ...): batch over (host, data) — DP spans DCN —
+    optionally sequence over seq (ICI)."""
+    return NamedSharding(
+        mesh, P(("host", "data"), "seq" if seq_parallel else None))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

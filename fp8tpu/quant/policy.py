@@ -252,4 +252,7 @@ def get_policy(dtype: str, training: bool = False) -> QuantPolicy:
     if d == "e5m2":
         p = e5m2_training_policy()
         return dataclasses.replace(p, is_training=False, name="e5m2")
+    if d in ("bfloat16", "bf16"):
+        p = bfloat16_policy()
+        return dataclasses.replace(p, is_training=False, name="bfloat16")
     raise ValueError(f"unsupported inference dtype {dtype!r}")

@@ -788,3 +788,71 @@ def prefill_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
     h_last = _rms(h_last, params["final_norm"], mcfg.norm_eps)
     logits = _lm_head(params, h_last)[0]
     return logits, paged
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def full_logits(params: Dict, tokens: jax.Array, cfg: ServeConfig
+                ) -> jax.Array:
+    """Teacher-forcing forward over the SERVING artifact: (S,) tokens →
+    (S, V) f32 logits with dense causal attention (same math as
+    :func:`prefill`, no cache writes).  Used by the accuracy gates to
+    measure the real-quantized serving path's ΔPPL, not just the
+    emulation path's."""
+    mcfg = cfg.model
+    H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
+    Sp = tokens.shape[0]
+    linear = _make_linear(cfg)
+
+    h = _embed_lookup(params, tokens)
+    inv_freq = rope_freqs(mcfg)
+    pos = jnp.arange(Sp)
+    ang = pos[:, None].astype(jnp.float32) * inv_freq
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    def rope1(x):
+        x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+        c, s = cos[:, None], sin[:, None]
+        return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
+                               axis=-1).astype(x.dtype)
+
+    causal = pos[None, :] <= pos[:, None]
+
+    def layer_step(carry, xs):
+        h, li = carry
+        (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
+         gate8, gates, up8, ups, down8, downs) = xs
+
+        x = _rms(h, attn_norm, mcfg.norm_eps)
+        q = linear(x, q8, qs).reshape(Sp, H, D)
+        k = linear(x, k8w, ksw).reshape(Sp, KV, D)
+        v = linear(x, v8w, vsw).reshape(Sp, KV, D)
+        q, k = rope1(q), rope1(k)
+
+        # serving-faithful: attention consumes the fp8-quantized K/V the
+        # decode cache would hold
+        kq8, kqs = quantize_kv(k, cfg.kv_fmt)
+        vq8, vqs = quantize_kv(v, cfg.kv_fmt)
+        kd = kq8.astype(jnp.float32) * kqs
+        vd = vq8.astype(jnp.float32) * vqs
+
+        G = H // KV
+        qg = q.reshape(Sp, KV, G, D)
+        scores = jnp.einsum("skgd,tkd->skgt", qg.astype(jnp.float32),
+                            kd) / jnp.sqrt(D)
+        scores = jnp.where(causal[:, None, None, :], scores, _NEG)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("skgt,tkd->skgd", probs, vd)
+        ctx = ctx.reshape(Sp, H * D).astype(jnp.bfloat16)
+        h = h + linear(ctx, o8, osw)
+
+        x = _rms(h, mlp_norm, mcfg.norm_eps)
+        act = jax.nn.silu(linear(x, gate8, gates).astype(
+            jnp.float32)).astype(x.dtype) * linear(x, up8, ups)
+        h = h + linear(act, down8, downs)
+        return (h, li + 1), ()
+
+    h = h.astype(jnp.bfloat16)
+    (h, _), _ = jax.lax.scan(layer_step, (h, jnp.int32(0)),
+                             _layer_xs(params))
+    h = _rms(h, params["final_norm"], mcfg.norm_eps)
+    return _lm_head(params, h)

@@ -1,0 +1,96 @@
+"""Worker for the multi-process CPU mesh test (tests/test_multiprocess.py).
+
+Run as: python mp_worker.py <process_id> <num_processes> <port>
+
+Each process contributes 4 virtual CPU devices; together they form an
+8-device (host=2, model=4) mesh — the DCN/ICI hierarchy of make_mesh —
+and run the shard_map TP q-matmul pipeline plus a cross-host psum,
+checking numerics against a local dense reference.
+"""
+
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=4 "
+                           + os.environ.get("XLA_FLAGS", ""))
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=nproc, process_id=pid)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from fp8tpu.parallel.sharding import make_mesh  # noqa: E402
+from fp8tpu.parallel.tp_matmul import tp_mlp_block  # noqa: E402
+from fp8tpu.kernels.qmatmul import quantize_weights  # noqa: E402
+
+assert jax.process_count() == nproc, jax.process_count()
+assert jax.device_count() == 4 * nproc
+assert jax.local_device_count() == 4
+
+mesh = make_mesh(hosts=nproc, model=4)
+
+# deterministic global data, identical in every process
+rng = np.random.default_rng(0)
+B, K, FF = 8, 64, 256
+x = rng.standard_normal((B, K)).astype(np.float32)
+up = (rng.standard_normal((K, FF)) * 0.1).astype(np.float32)
+down = (rng.standard_normal((FF, K)) * 0.1).astype(np.float32)
+
+up8, up_s = quantize_weights(jnp.asarray(up), "e4m3", axis=-1)
+down8, down_s = quantize_weights(jnp.asarray(down), "e4m3", axis=-1)
+up8, up_s = np.asarray(up8), np.asarray(up_s).reshape(-1)
+down8, down_s = np.asarray(down8), np.asarray(down_s).reshape(-1)
+
+
+def put(arr, spec):
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        arr.shape, sh, lambda idx: arr[idx])
+
+
+xg = put(x.astype(np.float32), P())
+up8g = put(up8, P(None, "model"))
+up_sg = put(up_s, P("model"))
+down8g = put(down8, P("model", None))
+down_sg = put(down_s, P())
+
+
+@jax.jit
+def run(xg, up8g, up_sg, down8g, down_sg):
+    return tp_mlp_block(xg, up8g, up_sg, down8g, down_sg, mesh,
+                        overlap_chunks=4)
+
+
+out = np.asarray(jax.jit(lambda *a: run(*a))(xg, up8g, up_sg, down8g,
+                                             down_sg))
+
+# dense reference with the same quantized weights
+upd = up8.astype(np.float32) * up_s[None, :]
+downd = down8.astype(np.float32) * down_s[None, :]
+h = x @ upd
+h = h / (1 + np.exp(-h))          # silu in f32 (matches block's act)
+ref = h @ downd
+err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+assert err < 5e-2, f"tp_mlp parity failed: rel err {err}"
+
+# cross-host psum over the DCN (host) axis
+ones = put(np.ones((4 * nproc, 8), np.float32), P(("host", "data"), None))
+try:
+    from jax.sharding import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+tot = shard_map(lambda a: jax.lax.psum(jnp.sum(a), ("host", "data")),
+                mesh=mesh, in_specs=(P(("host", "data"), None),),
+                out_specs=P())(ones)
+assert float(np.asarray(tot)) == 4 * nproc * 8, tot
+
+print(f"proc {pid}: OK (tp rel err {err:.4f})", flush=True)

@@ -34,9 +34,52 @@ def decoder_setup():
 
 def test_mesh_shape():
     mesh = make_mesh(data=2, model=2, seq=2)
-    assert dict(mesh.shape) == {"data": 2, "seq": 2, "model": 2}
+    assert dict(mesh.shape) == {"host": 1, "data": 2, "seq": 2, "model": 2}
     mesh2 = make_mesh(data=8)
-    assert dict(mesh2.shape) == {"data": 8, "seq": 1, "model": 1}
+    assert dict(mesh2.shape) == {"host": 1, "data": 8, "seq": 1, "model": 1}
+    mesh3 = make_mesh(hosts=2, data=2, model=2)
+    assert dict(mesh3.shape) == {"host": 2, "data": 2, "seq": 1, "model": 2}
+
+
+def test_tp_qmatmul_parity(rng):
+    """shard_map column->row TP q-matmul pipeline (overlapped psum) vs a
+    dense single-device computation with the same quantized weights."""
+    from fp8tpu.kernels.qmatmul import quantize_weights
+    from fp8tpu.parallel.tp_matmul import (column_parallel_qmatmul,
+                                           row_parallel_qmatmul,
+                                           tp_mlp_block)
+
+    mesh = make_mesh(model=8)
+    B, K, FF = 8, 64, 256
+    x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    up = jnp.asarray(rng.standard_normal((K, FF)) * 0.1, jnp.float32)
+    down = jnp.asarray(rng.standard_normal((FF, K)) * 0.1, jnp.float32)
+    up8, up_s = quantize_weights(up, "e4m3", axis=-1)
+    down8, down_s = quantize_weights(down, "e4m3", axis=-1)
+    up_s, down_s = up_s.reshape(-1), down_s.reshape(-1)
+
+    upd = up8.astype(jnp.float32) * up_s[None]
+    downd = down8.astype(jnp.float32) * down_s[None]
+
+    # column-parallel alone
+    col = column_parallel_qmatmul(x, up8, up_s, mesh)
+    np.testing.assert_allclose(np.asarray(col), np.asarray(x @ upd),
+                               rtol=1e-4, atol=1e-4)
+
+    # row-parallel with overlapped psum, both output modes
+    h = (x @ upd).astype(jnp.float32)
+    want = np.asarray(h @ downd)
+    for scatter in (False, True):
+        got = row_parallel_qmatmul(h, down8, down_s, mesh,
+                                   overlap_chunks=4, scatter=scatter)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3,
+                                   atol=1e-3)
+
+    # the fused block
+    ref = jax.nn.silu(x @ upd) @ downd
+    got = tp_mlp_block(x, up8, up_s, down8, down_s, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-2, atol=1e-2)
 
 
 def test_param_sharding_rules(decoder_setup):

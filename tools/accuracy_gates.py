@@ -1,0 +1,288 @@
+#!/usr/bin/env python
+"""Accuracy gates on TRAINED models (VERDICT r1 §3).
+
+Trains a small decoder to convergence on a structured corpus (order-2
+Markov + induction, entropy floor known), then measures:
+
+  1. ΔPPL of every PTQ emulation policy vs the fp32 model   (gate ≤ 0.1)
+  2. ΔPPL of the real-quantized SERVING artifact (fp8 weights + fp8 KV,
+     int4 weights)                                          (gate ≤ 0.1)
+  3. FP8 mixed-precision TRAINING convergence parity: same budget,
+     hybrid/direct recipes vs bf16 training                 (gap ≤ 0.1)
+  4. Conv/QAT gate: tiny conv net on pattern images, fp32 vs e4m3 QAT
+     accuracy parity.
+
+Writes ACCURACY.json at the repo root (bench.py embeds it as extras) and
+prints a table.  ~4 minutes on the TPU chip, ~10 on CPU.
+
+The reference's analog is its examples-as-test-suite (imagenet_test.py:
+121-211, run_squad.py) on real datasets that cannot ship here.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import fp8tpu
+from fp8tpu.data import (markov_entropy_floor, mixed_lm_corpus,
+                         pattern_images)
+from fp8tpu.models import Decoder, tiny_config
+from fp8tpu.serve import ServeConfig, convert_decoder_params
+from fp8tpu.serve.model import full_logits
+from fp8tpu.training import initialize, make_train_step
+
+VOCAB = 64
+SEQ = 128
+OUT = os.path.join(os.path.dirname(__file__), "..", "ACCURACY.json")
+
+
+def lm_loss(apply_fn, variables, batch):
+    logits = apply_fn(variables, batch[:, :-1])
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits, batch[:, 1:])
+    return jnp.mean(ce)
+
+
+def ppl_of(apply_fn, tokens, batch=16):
+    tot, n = 0.0, 0
+    for i in range(0, tokens.shape[0], batch):
+        tb = jnp.asarray(tokens[i:i + batch])
+        logits = apply_fn(tb[:, :-1])
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, tb[:, 1:])
+        tot += float(jnp.sum(ce))
+        n += int(np.prod(ce.shape))
+    return float(np.exp(tot / max(n, 1)))
+
+
+def train_bf16(model, variables, train_toks, steps, lr, batch, log=True):
+    """Plain bf16/f32 AdamW training — the fp32 baseline."""
+    opt = optax.adamw(optax.cosine_decay_schedule(lr, steps), b2=0.98,
+                      weight_decay=0.01)
+    opt_state = opt.init(variables["params"])
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_of(p):
+            return lm_loss(lambda v, t: model.apply(v, t),
+                           {"params": p}, batch)
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = variables["params"]
+    rng = np.random.default_rng(0)
+    for i in range(steps):
+        idx = rng.integers(0, len(train_toks), batch)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(train_toks[idx]))
+        if log and (i + 1) % max(steps // 5, 1) == 0:
+            print(f"    bf16 step {i+1}/{steps} loss {float(loss):.4f}",
+                  flush=True)
+    return {"params": params}
+
+
+def train_fp8(model, variables, train_toks, steps, lr, batch, algo):
+    """FP8 mixed-precision training via the MPT pipeline."""
+    emulator = initialize(model, variables,
+                          (jnp.asarray(train_toks[:1, :-1]),),
+                          training_algo=algo, master_fmt="fp16")
+    opt = optax.adamw(optax.cosine_decay_schedule(lr, steps), b2=0.98,
+                      weight_decay=0.01)
+    step = jax.jit(make_train_step(
+        emulator, opt, lambda af, p, b: lm_loss(af, p, b)))
+    params = variables
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(0)
+    key = jax.random.key(42)
+    for i in range(steps):
+        idx = rng.integers(0, len(train_toks), batch)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(train_toks[idx]), sub)
+        if (i + 1) % max(steps // 5, 1) == 0:
+            print(f"    {algo} step {i+1}/{steps} loss {float(loss):.4f}",
+                  flush=True)
+    return params
+
+
+def lm_gates(steps, batch, lr, results):
+    cfg = tiny_config(n_layers=4, d_model=256, n_heads=8, n_kv_heads=4,
+                      d_ff=768, vocab_size=VOCAB, max_seq_len=SEQ)
+    model = Decoder(cfg)
+    train_toks = mixed_lm_corpus(2048, SEQ, VOCAB, seed=0)
+    eval_toks = mixed_lm_corpus(128, SEQ, VOCAB, seed=777)
+    floor = markov_entropy_floor(VOCAB)
+    print(f"[lm] corpus entropy floor (markov half): ppl ~{floor:.2f}")
+
+    variables = model.init(jax.random.key(1),
+                           jnp.asarray(train_toks[:1, :-1]))
+    t0 = time.time()
+    trained = train_bf16(model, variables, train_toks, steps, lr, batch)
+    print(f"[lm] bf16 training {time.time()-t0:.0f}s")
+
+    base_apply = jax.jit(lambda t: model.apply(trained, t))
+    base = ppl_of(base_apply, eval_toks)
+    results["lm"] = {"entropy_floor_markov": round(floor, 3),
+                     "fp32_ppl": round(base, 4), "policies": {}}
+    print(f"[lm] trained fp32 eval ppl {base:.4f}")
+
+    # 1. PTQ emulation policies on the trained weights
+    calib = [jnp.asarray(eval_toks[:16, :-1])]
+    for dtype in ("e4m3", "e3m4", "e5m2", "hybrid", "bfloat16"):
+        qm = fp8tpu.quantize_model(model, trained,
+                                   (jnp.asarray(eval_toks[:1, :-1]),),
+                                   dtype=dtype, calibration_batches=calib)
+        p = ppl_of(jax.jit(qm.apply), eval_toks)
+        results["lm"]["policies"][dtype] = {
+            "ppl": round(p, 4), "delta_ppl": round(p - base, 4)}
+        print(f"[lm] PTQ {dtype:9s} ppl {p:.4f}  Δ {p-base:+.4f}")
+
+    # 2. the real serving artifact (what bench.py measures)
+    for fmt, kv in (("e4m3", "e4m3"), ("e4m3", "e5m2"), ("int4", "e4m3")):
+        scfg = ServeConfig(model=cfg, weight_fmt=fmt, kv_fmt=kv)
+        sparams = convert_decoder_params(trained, cfg, fmt=fmt)
+        def sv_apply(tb, scfg=scfg, sparams=sparams):
+            return jnp.stack([full_logits(sparams, t, scfg) for t in tb])
+        p = ppl_of(sv_apply, eval_toks[:64])
+        tag = f"serve_{fmt}_kv{kv}"
+        results["lm"]["policies"][tag] = {
+            "ppl": round(p, 4), "delta_ppl": round(p - base, 4)}
+        print(f"[lm] {tag:18s} ppl {p:.4f}  Δ {p-base:+.4f}")
+
+    # 3. FP8 training convergence parity (same budget from same init)
+    results["lm"]["training"] = {"bf16_ppl": round(base, 4)}
+    for algo in ("hybrid", "direct"):
+        t0 = time.time()
+        tp = train_fp8(model, variables, train_toks, steps, lr, batch,
+                       algo)
+        p = ppl_of(jax.jit(lambda t: model.apply(tp, t)), eval_toks)
+        results["lm"]["training"][f"{algo}_ppl"] = round(p, 4)
+        results["lm"]["training"][f"{algo}_gap"] = round(p - base, 4)
+        print(f"[lm] {algo} FP8-trained ppl {p:.4f} "
+              f"(gap {p-base:+.4f}, {time.time()-t0:.0f}s)")
+
+
+def conv_gates(steps, results):
+    """Tiny conv net QAT parity on pattern images."""
+    import flax.linen as nn
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(16, (3, 3), name="conv1")(x)
+            x = nn.relu(x)
+            x = nn.avg_pool(x, (2, 2), (2, 2))
+            x = nn.Conv(32, (3, 3), name="conv2")(x)
+            x = nn.relu(x)
+            x = x.mean(axis=(1, 2))
+            return nn.Dense(8, name="head")(x)
+
+    xs, ys = pattern_images(4096, seed=0)
+    xe, ye = pattern_images(512, seed=9)
+    model = Net()
+    variables = model.init(jax.random.key(0), jnp.asarray(xs[:1]))
+    opt = optax.adam(3e-3)
+
+    def accuracy(apply_fn):
+        logits = apply_fn(jnp.asarray(xe))
+        return float((jnp.argmax(logits, -1) == jnp.asarray(ye)).mean())
+
+    # fp32 training
+    @jax.jit
+    def step32(params, opt_state, bx, by):
+        def loss_of(p):
+            lg = model.apply({"params": p}, bx)
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(lg, by))
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(0)
+    params = variables["params"]
+    opt_state = opt.init(params)
+    for i in range(steps):
+        idx = rng.integers(0, len(xs), 64)
+        params, opt_state, _ = step32(params, opt_state,
+                                      jnp.asarray(xs[idx]),
+                                      jnp.asarray(ys[idx]))
+    acc32 = accuracy(jax.jit(
+        lambda x: model.apply({"params": params}, x)))
+
+    # e4m3 QAT (quantized forward in the loss; STE backward)
+    from fp8tpu.quant.interceptor import build_module_table, quantized_apply
+    from fp8tpu.quant.policy import e4m3_inference_policy
+    pol = e4m3_inference_policy(calibrated=False)
+    table = build_module_table(model, variables, jnp.asarray(xs[:1]))
+
+    @jax.jit
+    def stepq(params, opt_state, bx, by):
+        def loss_of(p):
+            lg = quantized_apply(model, pol, {"params": p}, bx,
+                                 module_table=table)
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(lg, by))
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(0)
+    qparams = variables["params"]
+    qopt_state = opt.init(qparams)
+    for i in range(steps):
+        idx = rng.integers(0, len(xs), 64)
+        qparams, qopt_state, _ = stepq(qparams, qopt_state,
+                                       jnp.asarray(xs[idx]),
+                                       jnp.asarray(ys[idx]))
+    accq = accuracy(jax.jit(lambda x: quantized_apply(
+        model, pol, {"params": qparams}, x, module_table=table)))
+    # and the QAT-trained weights evaluated fp32 (deploy-as-fp32 check)
+    accq32 = accuracy(jax.jit(
+        lambda x: model.apply({"params": qparams}, x)))
+
+    results["conv_qat"] = {
+        "fp32_acc": round(acc32, 4),
+        "e4m3_qat_acc": round(accq, 4),
+        "e4m3_qat_fp32eval_acc": round(accq32, 4),
+        "gap": round(acc32 - accq, 4),
+    }
+    print(f"[conv] fp32 acc {acc32:.4f}  e4m3-QAT acc {accq:.4f} "
+          f"(gap {acc32-accq:+.4f})")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--conv_steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--out", default=OUT)
+    args = ap.parse_args()
+
+    results = {"steps": args.steps, "backend": jax.default_backend()}
+    lm_gates(args.steps, args.batch, args.lr, results)
+    conv_gates(args.conv_steps, results)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", os.path.abspath(args.out))
+
+    worst = max(abs(v["delta_ppl"])
+                for k, v in results["lm"]["policies"].items()
+                if k != "bfloat16")
+    print(f"GATES: worst |ΔPPL| {worst:.4f} (target ≤ 0.1); "
+          f"conv QAT gap {results['conv_qat']['gap']:+.4f}")
+
+
+if __name__ == "__main__":
+    main()
