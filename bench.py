@@ -101,15 +101,36 @@ def bench_variant(fmt: str, kv_fmt: str) -> float:
     return tok_s
 
 
+def _extras():
+    """Secondary envelope recorded by tools/accuracy_gates.py and
+    tools/bench_extras.py (cached JSON — no extra device time here)."""
+    out = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name, key in (("ACCURACY.json", "accuracy"),
+                      ("PERF_EXTRAS.json", "perf")):
+        path = os.path.join(here, name)
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    out[key] = json.load(f)
+            except Exception:
+                pass
+    return out
+
+
 def main():
     fp8 = bench_variant("e4m3", "e4m3")
     bf16 = bench_variant("bf16", "bf16")
-    print(json.dumps({
+    line = {
         "metric": "fp8_decode_tokens_per_s_per_chip",
         "value": round(fp8, 1),
         "unit": "tokens/s",
         "vs_baseline": round(fp8 / bf16, 3),
-    }))
+    }
+    extras = _extras()
+    if extras:
+        line["extras"] = extras
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -2,7 +2,13 @@
 """BERT QA FP8 fine-tuning — the reference's accelerate-based SQuAD flow
 (examples/training/bert/run_qa_no_trainer.py:810-930): initialize the FP8
 emulator after the optimizer, exempt the qa_outputs head, and fuse the
-attention-score matmul outputs.  Synthetic span data (no downloads)."""
+attention-score matmul outputs.
+
+Data is synthetic but LEARNABLE (no downloads): the answer span's tokens
+are drawn from a distinct half of the vocabulary, so the model learns to
+point at the marked region, and the SQuAD EM/F1 metrics
+(utils.metrics.squad_em_f1; the reference's `squad` metric computed at
+span level, run_qa_no_trainer.py) rise well above chance."""
 
 import argparse
 import os
@@ -23,6 +29,23 @@ from fp8tpu.models import (
 )
 from fp8tpu.training import make_train_step
 from fp8tpu.utils import MetricLogger
+from fp8tpu.utils.metrics import squad_em_f1
+
+
+def make_batch(key, batch_size, seq_len, vocab_size):
+    """Context tokens from [0, V/2); the answer span from [V/2, V)."""
+    import numpy as np
+    rng = np.random.default_rng(
+        int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    ids = rng.integers(0, vocab_size // 2, (batch_size, seq_len))
+    starts = rng.integers(0, seq_len - 8, batch_size)
+    lengths = rng.integers(1, 6, batch_size)
+    ends = np.minimum(starts + lengths, seq_len - 1)
+    for b in range(batch_size):
+        ids[b, starts[b]:ends[b] + 1] = rng.integers(
+            vocab_size // 2, vocab_size, ends[b] - starts[b] + 1)
+    return (jnp.asarray(ids, jnp.int32), jnp.asarray(starts, jnp.int32),
+            jnp.asarray(ends, jnp.int32))
 
 
 def main():
@@ -66,20 +89,30 @@ def main():
     log = MetricLogger()
     for i in range(args.steps):
         k = jax.random.fold_in(key, i)
-        batch = (
-            jax.random.randint(jax.random.fold_in(k, 1),
-                               (args.batch_size, args.seq_len), 0,
-                               cfg.vocab_size),
-            jax.random.randint(jax.random.fold_in(k, 2),
-                               (args.batch_size,), 0, args.seq_len),
-            jax.random.randint(jax.random.fold_in(k, 3),
-                               (args.batch_size,), 0, args.seq_len),
-        )
+        batch = make_batch(jax.random.fold_in(k, 1), args.batch_size,
+                           args.seq_len, cfg.vocab_size)
         variables, opt_state, loss = step(variables, opt_state, batch, k)
         log.update(loss=float(loss))
         if i % 10 == 0:
             print(f"step {i}: {log}")
     print(f"final: {log}")
+
+    # SQuAD-style evaluation (run_qa_no_trainer.py's `squad` metric at
+    # span level): predict argmax start/end on held-out batches.
+    eval_apply = jax.jit(lambda v, ids: model.apply(v, ids))
+    ps, pe, gs, ge = [], [], [], []
+    for j in range(8):
+        ids, starts, ends = make_batch(jax.random.fold_in(key, 10_000 + j),
+                                       args.batch_size, args.seq_len,
+                                       cfg.vocab_size)
+        s_logits, e_logits = eval_apply(variables, ids)
+        ps.append(jnp.argmax(s_logits, -1))
+        pe.append(jnp.argmax(e_logits, -1))
+        gs.append(starts)
+        ge.append(ends)
+    m = squad_em_f1(jnp.concatenate(ps), jnp.concatenate(pe),
+                    jnp.concatenate(gs), jnp.concatenate(ge))
+    print(f"eval: exact_match {m['exact_match']:.2f}  f1 {m['f1']:.2f}")
 
 
 if __name__ == "__main__":

@@ -179,28 +179,55 @@ def make_train_step(
     emulator: MPTEmulator,
     optimizer: optax.GradientTransformation,
     loss_fn: Callable[..., jax.Array],
+    loss_scale: Optional[float] = 2.0 ** 12,
 ):
     """Build a jittable train step running the full MPT pipeline.
 
     ``loss_fn(apply_fn, variables, batch)`` where apply_fn is the
     quantized forward.  Returns step(params, opt_state, batch, key) →
     (params, opt_state, loss).
+
+    ``loss_scale`` multiplies the loss before backward, so the
+    fp8/fp16-cast gradient streams (igrad/ograd/wtgrad roles) see values
+    above their flush thresholds — the role apex amp's scale_loss plays
+    in the reference recipe (main_amp.py:404-405; without it small
+    gradients flush to zero in E5M2/FP16 and training stalls once past
+    the initial large-gradient phase).  Gradients are unscaled AFTER the
+    quantized streams (matching apex O2: hooks see scaled grads, the
+    FP32 master update sees unscaled ones); a step with non-finite
+    gradients is skipped, apex-dynamic-loss-scale style.  ``None``
+    disables scaling.
     """
+    scale = None if loss_scale is None else jnp.float32(loss_scale)
 
     def step(params, opt_state, batch, key):
         kf, kg, km = jax.random.split(key, 3)
 
         def loss_of(p):
-            return loss_fn(
+            loss = loss_fn(
                 lambda v, *a, **kw: emulator.apply_quantized(
                     v, *a, key=kf, **kw),
                 p, batch)
+            return loss * scale if scale is not None else loss
 
         loss, grads = jax.value_and_grad(loss_of)(params)
         grads = emulator.quantize_grads(grads, kg)
+        if scale is not None:
+            loss = loss / scale
+            grads = jax.tree_util.tree_map(
+                lambda g: (g / scale).astype(g.dtype), grads)
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g))
+             for g in jax.tree_util.tree_leaves(grads)]))
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        params = emulator.post_update(params, km)
+        new_params = optax.apply_updates(params, updates)
+        new_params = emulator.post_update(new_params, km)
+        # skip the whole update (incl. master requant) on overflow
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_params, params)
         return params, opt_state, loss
 
     return step

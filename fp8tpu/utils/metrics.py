@@ -109,3 +109,34 @@ def all_reduce_mean(value, axis_name: Optional[str] = None):
     if axis_name is None:
         return value
     return jax.lax.pmean(value, axis_name)
+
+
+def squad_em_f1(pred_starts, pred_ends, gold_starts, gold_ends):
+    """SQuAD-style span metrics: exact match and token-overlap F1.
+
+    The reference computes these through the HF ``squad`` metric over
+    decoded answer strings (run_squad.py; run_qa_no_trainer.py) — at the
+    span level the definition is: EM = both endpoints equal; F1 = the
+    harmonic mean of precision/recall of the predicted token range
+    against the gold range.  Inputs are int arrays of shape (N,).
+
+    Returns dict(exact_match=%, f1=%).
+    """
+    ps = np.asarray(pred_starts)
+    pe = np.asarray(pred_ends)
+    gs = np.asarray(gold_starts)
+    ge = np.asarray(gold_ends)
+    # normalize reversed spans
+    ps, pe = np.minimum(ps, pe), np.maximum(ps, pe)
+    gs, ge = np.minimum(gs, ge), np.maximum(gs, ge)
+
+    em = (ps == gs) & (pe == ge)
+    inter = np.maximum(0, np.minimum(pe, ge) - np.maximum(ps, gs) + 1)
+    plen = pe - ps + 1
+    glen = ge - gs + 1
+    prec = inter / plen
+    rec = inter / glen
+    f1 = np.where(inter > 0, 2 * prec * rec / np.maximum(prec + rec, 1e-9),
+                  0.0)
+    return {"exact_match": float(em.mean() * 100),
+            "f1": float(f1.mean() * 100)}

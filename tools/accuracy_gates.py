@@ -119,7 +119,10 @@ def lm_gates(steps, batch, lr, results):
     cfg = tiny_config(n_layers=4, d_model=256, n_heads=8, n_kv_heads=4,
                       d_ff=768, vocab_size=VOCAB, max_seq_len=SEQ)
     model = Decoder(cfg)
-    train_toks = mixed_lm_corpus(2048, SEQ, VOCAB, seed=0)
+    # enough data that the run stays under ~3 epochs: an overfit model
+    # turns quantization noise into (anti-)regularization and makes
+    # ΔPPL meaningless
+    train_toks = mixed_lm_corpus(16384, SEQ, VOCAB, seed=0)
     eval_toks = mixed_lm_corpus(128, SEQ, VOCAB, seed=777)
     floor = markov_entropy_floor(VOCAB)
     print(f"[lm] corpus entropy floor (markov half): ppl ~{floor:.2f}")
@@ -136,12 +139,16 @@ def lm_gates(steps, batch, lr, results):
                      "fp32_ppl": round(base, 4), "policies": {}}
     print(f"[lm] trained fp32 eval ppl {base:.4f}")
 
-    # 1. PTQ emulation policies on the trained weights
-    calib = [jnp.asarray(eval_toks[:16, :-1])]
+    # 1. PTQ emulation policies on the trained weights.  The classifier
+    # head (here: the tied embedding/LM head) is exempt, matching the
+    # reference recipe (imagenet_test.py:24-71 exempts first conv +
+    # classifier; run_squad.py exempts qa_outputs).
+    calib = [jnp.asarray(train_toks[:16, :-1])]
     for dtype in ("e4m3", "e3m4", "e5m2", "hybrid", "bfloat16"):
         qm = fp8tpu.quantize_model(model, trained,
                                    (jnp.asarray(eval_toks[:1, :-1]),),
-                                   dtype=dtype, calibration_batches=calib)
+                                   dtype=dtype, calibration_batches=calib,
+                                   list_exempt_layers=("embed",))
         p = ppl_of(jax.jit(qm.apply), eval_toks)
         results["lm"]["policies"][dtype] = {
             "ppl": round(p, 4), "delta_ppl": round(p - base, 4)}

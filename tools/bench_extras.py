@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Secondary perf envelope (VERDICT r1 §7): training-emulation overhead,
+qdq_matmul MFU, cast-kernel bandwidth, and the int4/bf16 decode variants.
+
+Writes PERF_EXTRAS.json at the repo root; bench.py embeds it (plus
+ACCURACY.json) into its one-line output so every round's BENCH artifact
+carries the full envelope, not just the headline.
+
+Run on the TPU chip:  python tools/bench_extras.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "PERF_EXTRAS.json")
+
+
+def _best(fn, n=3):
+    fn()
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def training_overhead():
+    """Emulated-FP8 vs plain-bf16 train-step throughput (small model)."""
+    from fp8tpu.models import Decoder, tiny_config
+    from fp8tpu.training import initialize, make_train_step
+
+    cfg = tiny_config(n_layers=4, d_model=512, n_heads=8, n_kv_heads=4,
+                      d_ff=1024, vocab_size=2048, max_seq_len=256)
+    model = Decoder(cfg)
+    B, S = 16, 256
+    tokens = jnp.ones((B, S), jnp.int32)
+    variables = model.init(jax.random.key(0), tokens)
+    opt = optax.adamw(1e-3)
+
+    def loss_fn(apply_fn, params, batch):
+        logits = apply_fn(params, batch[:, :-1])
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch[:, 1:]).mean()
+
+    # plain step
+    @jax.jit
+    def plain(params, opt_state, batch):
+        def lf(p):
+            return loss_fn(lambda v, t: model.apply(v, t), p, batch)
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = variables
+    opt_state = opt.init(params)
+    key = jax.random.key(1)
+
+    def run_plain():
+        nonlocal params, opt_state
+        for _ in range(8):
+            params, opt_state, loss = plain(params, opt_state, tokens)
+        float(loss)
+
+    t_plain = _best(run_plain) / 8
+
+    emulator = initialize(model, variables, (tokens,),
+                          training_algo="hybrid", master_fmt="fp16")
+    estep = jax.jit(make_train_step(emulator, opt, loss_fn))
+    eparams = variables
+    eopt = opt.init(eparams)
+
+    def run_emu():
+        nonlocal eparams, eopt
+        for _ in range(8):
+            eparams, eopt, loss = estep(eparams, eopt, tokens, key)
+        float(loss)
+
+    t_emu = _best(run_emu) / 8
+    toks = B * (S - 1)
+    return {
+        "plain_tok_s": round(toks / t_plain, 1),
+        "hybrid_emulated_tok_s": round(toks / t_emu, 1),
+        "emulation_overhead_x": round(t_emu / t_plain, 3),
+    }
+
+
+def qdq_matmul_mfu():
+    """Fused fake-quant matmul vs plain bf16 dot at a square MXU shape."""
+    from fp8tpu.kernels import qdq_matmul
+
+    M = K = N = 4096
+    x = jax.random.normal(jax.random.key(0), (M, K), jnp.float32)
+    w = jax.random.normal(jax.random.key(1), (K, N), jnp.float32)
+    xb, wb = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+
+    @jax.jit
+    def plain(xb, wb):
+        return jnp.sum(jnp.dot(xb, wb,
+                               preferred_element_type=jnp.float32))
+
+    t_plain = _best(lambda: float(plain(xb, wb)))
+
+    @jax.jit
+    def fused(x, w):
+        return jnp.sum(qdq_matmul(x, w, fmt_x="e4m3", fmt_w="e4m3"))
+
+    t_fused = _best(lambda: float(fused(x, w)))
+    flops = 2 * M * K * N
+    peak = 197e12  # v5e bf16 peak
+    return {
+        "bf16_dot_tflops": round(flops / t_plain / 1e12, 1),
+        "qdq_matmul_tflops": round(flops / t_fused / 1e12, 1),
+        "bf16_dot_mfu": round(flops / t_plain / peak, 3),
+        "qdq_matmul_mfu": round(flops / t_fused / peak, 3),
+    }
+
+
+def cast_bandwidth():
+    """Pallas cast kernel GB/s (read f32 + write f32)."""
+    from fp8tpu.kernels import pallas_qdq
+
+    n = 64 * 1024 * 1024 // 4  # 64 MB of f32
+    x = jax.random.normal(jax.random.key(0), (n // 1024, 1024), jnp.float32)
+
+    @jax.jit
+    def run(x):
+        return jnp.sum(pallas_qdq(x, fmt="e4m3", mode="rne"))
+
+    t = _best(lambda: float(run(x)))
+    return {"cast_e4m3_rne_gbps": round(2 * x.nbytes / t / 1e9, 1)}
+
+
+def decode_variants():
+    """Decode tok/s for weight_fmt in {e4m3, int4} plus the bf16 twin —
+    the same measurement bench.py makes, recorded per-format."""
+    import bench as benchmod
+
+    out = {}
+    for fmt, kv in (("e4m3", "e4m3"), ("int4", "e4m3"), ("bf16", "bf16")):
+        tok = benchmod.bench_variant(fmt, kv)
+        out[f"decode_{fmt}_tok_s"] = round(tok, 1)
+    out["int4_vs_fp8"] = round(out["decode_int4_tok_s"]
+                               / out["decode_e4m3_tok_s"], 3)
+    out["fp8_vs_bf16"] = round(out["decode_e4m3_tok_s"]
+                               / out["decode_bf16_tok_s"], 3)
+    return out
+
+
+def main():
+    which = sys.argv[1:] or ["training", "mfu", "cast", "decode"]
+    res = {}
+    if "training" in which:
+        res["training"] = training_overhead()
+        print("training:", res["training"], flush=True)
+    if "mfu" in which:
+        res["qdq_matmul"] = qdq_matmul_mfu()
+        print("qdq_matmul:", res["qdq_matmul"], flush=True)
+    if "cast" in which:
+        res["cast"] = cast_bandwidth()
+        print("cast:", res["cast"], flush=True)
+    if "decode" in which:
+        res["decode"] = decode_variants()
+        print("decode:", res["decode"], flush=True)
+
+    prev = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f)
+    prev.update(res)
+    with open(OUT, "w") as f:
+        json.dump(prev, f, indent=1)
+    print("wrote", os.path.abspath(OUT))
+
+
+if __name__ == "__main__":
+    main()
