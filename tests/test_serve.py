@@ -140,6 +140,33 @@ def test_engine_batch_isolation(setup):
     assert solo[0] == paired[0]
 
 
+def test_int8_kv_cache_decode(setup):
+    """int8 KV (same bytes, 7 value bits) must run the decode path and
+    track the bf16-cache logits at least as tightly as e4m3 KV."""
+    cfg, m, variables, scfg, sparams = setup
+    import dataclasses
+    prompt = jnp.asarray([3, 14, 15, 92], jnp.int32)
+
+    def logits_with(kv_fmt):
+        sc = dataclasses.replace(scfg, kv_fmt=kv_fmt)
+        cache = RingKVCache.create(cfg.n_layers, 1, 32, cfg.n_kv_heads,
+                                   cfg.head_dim, kv_fmt)
+        _, cache = prefill(sparams, cache, jnp.pad(prompt, (0, 28)),
+                           jnp.int32(0), jnp.int32(4), sc)
+        out, cache = decode_step(sparams, cache,
+                                 jnp.asarray([7], jnp.int32),
+                                 jnp.asarray([4], jnp.int32), sc)
+        return np.asarray(out[0])
+
+    ref = logits_with("bf16")
+    e4 = logits_with("e4m3")
+    i8 = logits_with("int8")
+    err_e4 = np.abs(e4 - ref).mean()
+    err_i8 = np.abs(i8 - ref).mean()
+    assert np.isfinite(i8).all()
+    assert err_i8 <= err_e4 * 1.1, (err_i8, err_e4)
+
+
 def _paged_pool(cfg, n_slots=2, n_pages=16, page_size=8, max_pages=8):
     pc = PagedKVCache.create(n_pages, page_size, cfg.n_layers, n_slots,
                              max_pages, cfg.n_kv_heads, cfg.head_dim,

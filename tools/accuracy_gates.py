@@ -129,14 +129,34 @@ def lm_gates(steps, batch, lr, results):
 
     variables = model.init(jax.random.key(1),
                            jnp.asarray(train_toks[:1, :-1]))
-    t0 = time.time()
-    trained = train_bf16(model, variables, train_toks, steps, lr, batch)
-    print(f"[lm] bf16 training {time.time()-t0:.0f}s")
+    ckpt_dir = os.path.join(os.path.dirname(__file__), "..",
+                            ".cache_accuracy")
+    from fp8tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+    reuse = os.environ.get("ACC_REUSE") == "1"
+    trained = None
+    if reuse:
+        try:
+            trained = restore_checkpoint(
+                ckpt_dir, steps, {"params": variables})["state"]["params"]
+            print("[lm] reusing cached trained weights")
+        except Exception:
+            trained = None
+    if trained is None:
+        t0 = time.time()
+        trained = train_bf16(model, variables, train_toks, steps, lr, batch)
+        print(f"[lm] bf16 training {time.time()-t0:.0f}s")
+        try:
+            save_checkpoint(ckpt_dir, steps, trained)
+        except Exception as e:
+            print("[lm] checkpoint save skipped:", e)
 
     base_apply = jax.jit(lambda t: model.apply(trained, t))
     base = ppl_of(base_apply, eval_toks)
+    prev_training = results.get("lm", {}).get("training")
     results["lm"] = {"entropy_floor_markov": round(floor, 3),
                      "fp32_ppl": round(base, 4), "policies": {}}
+    if prev_training:
+        results["lm"]["training"] = prev_training
     print(f"[lm] trained fp32 eval ppl {base:.4f}")
 
     # 1. PTQ emulation policies on the trained weights.  The classifier
@@ -154,19 +174,36 @@ def lm_gates(steps, batch, lr, results):
             "ppl": round(p, 4), "delta_ppl": round(p - base, 4)}
         print(f"[lm] PTQ {dtype:9s} ppl {p:.4f}  Δ {p-base:+.4f}")
 
-    # 2. the real serving artifact (what bench.py measures)
-    for fmt, kv in (("e4m3", "e4m3"), ("e4m3", "e5m2"), ("int4", "e4m3")):
+    # 2. the real serving artifact (what bench.py measures).  The bf16
+    # variant is the serving-path referent: it shares the bf16 compute
+    # precision of real TPU serving, so delta_vs_serve_bf16 isolates
+    # what QUANTIZATION costs (delta_ppl against the f32 emulation eval
+    # mostly measures bf16 arithmetic, which the unquantized baseline
+    # pays identically — kv=bf16 ablation confirms).
+    serve_ppls = {}
+    for fmt, kv in (("bf16", "bf16"), ("e4m3", "e4m3"), ("e4m3", "int8"),
+                    ("e4m3", "bf16"), ("e4m3", "e5m2"), ("int4", "int8"),
+                    ("int4", "e4m3")):
         scfg = ServeConfig(model=cfg, weight_fmt=fmt, kv_fmt=kv)
         sparams = convert_decoder_params(trained, cfg, fmt=fmt)
         def sv_apply(tb, scfg=scfg, sparams=sparams):
             return jnp.stack([full_logits(sparams, t, scfg) for t in tb])
         p = ppl_of(sv_apply, eval_toks[:64])
         tag = f"serve_{fmt}_kv{kv}"
-        results["lm"]["policies"][tag] = {
-            "ppl": round(p, 4), "delta_ppl": round(p - base, 4)}
-        print(f"[lm] {tag:18s} ppl {p:.4f}  Δ {p-base:+.4f}")
+        serve_ppls[tag] = p
+        rec = {"ppl": round(p, 4), "delta_ppl": round(p - base, 4)}
+        ref = serve_ppls.get("serve_bf16_kvbf16")
+        if ref is not None:
+            rec["delta_vs_serve_bf16"] = round(p - ref, 4)
+        results["lm"]["policies"][tag] = rec
+        extra = (f"  Δserve_bf16 {rec['delta_vs_serve_bf16']:+.4f}"
+                 if "delta_vs_serve_bf16" in rec else "")
+        print(f"[lm] {tag:18s} ppl {p:.4f}  Δ {p-base:+.4f}{extra}")
 
     # 3. FP8 training convergence parity (same budget from same init)
+    if os.environ.get("ACC_SKIP_TRAINING") == "1":
+        print("[lm] FP8-training section skipped (ACC_SKIP_TRAINING=1)")
+        return
     results["lm"]["training"] = {"bf16_ppl": round(base, 4)}
     for algo in ("hybrid", "direct"):
         t0 = time.time()
@@ -277,8 +314,17 @@ def main():
     args = ap.parse_args()
 
     results = {"steps": args.steps, "backend": jax.default_backend()}
+    # merge over a previous run so skipped sections keep their numbers
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            results = {**prev, **results}
+        except Exception:
+            pass
     lm_gates(args.steps, args.batch, args.lr, results)
-    conv_gates(args.conv_steps, results)
+    if os.environ.get("ACC_SKIP_CONV") != "1":
+        conv_gates(args.conv_steps, results)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
