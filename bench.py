@@ -119,7 +119,12 @@ def _extras():
 
 
 def main():
-    fp8 = bench_variant("e4m3", "e4m3")
+    # Flagship serving config: fp8 (e4m3) weights + int8 KV cache.  The
+    # int8 cache is the same byte count as fp8 but measured BOTH faster
+    # (~+3% decode: v5e's int8->bf16 convert beats fp8->bf16) and more
+    # accurate (+0.003 vs +0.016 dPPL against the bf16 serving twin,
+    # ACCURACY.json).
+    fp8 = bench_variant("e4m3", "int8")
     bf16 = bench_variant("bf16", "bf16")
     line = {
         "metric": "fp8_decode_tokens_per_s_per_chip",

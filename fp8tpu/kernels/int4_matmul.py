@@ -5,9 +5,20 @@ The XLA formulation (serve/model.py int4_linear) splits the contraction
 into even/odd halves, and XLA reads the packed buffer once per half —
 doubling effective HBM traffic and erasing int4's byte win (NOTES r1).
 This kernel reads each packed tile ONCE into VMEM, unpacks both nibbles
-in-register (shift/sign-extend on the MXU-adjacent VPU), applies grouped
-scales to the unpacked tile when requested, and issues both half-
-contraction MXU dots from the same resident tile.
+in-register, applies grouped scales to the unpacked tile when requested,
+and issues both half-contraction MXU dots from the same resident tile.
+
+**v5e measurement (tools/bench_int4.py, NOTES r2): the kernel is correct
+but NOT faster than the fp8 path on this hardware generation.**  Mosaic
+supports neither a direct uint8→bf16 convert nor int8-domain shifts
+(compiler error / crash), so the unpack must widen to int32 — ~5 VPU
+ops per weight, which costs far more than the halved HBM bytes save
+(measured ~36-80 GB/s effective vs fp8's ~335-650).  XLA's fused
+two-pass unpack (int4_linear) remains the production int4 route: int4
+is a CAPACITY option (half the weight HBM) on v5e, not a speed win.
+The kernel and its grouped-scale quantizer stay as the accuracy path
+(AWQ-class grouping, test-covered) and for hardware with native
+sub-byte support.
 
 Packing matches serve.quantize_weights_int4: byte r of row-pair k holds
 w[2k] in the low nibble, w[2k+1] in the high nibble, so
@@ -96,6 +107,14 @@ def _int4_matmul(xe, xo, wp, scales, group_size, tm, tn, tk2, out_dtype,
         g2 = group_size // 2                      # packed rows per group
         assert tk2 % g2 == 0, (tk2, group_size)
         groups_per_tile = tk2 // g2
+        # Mosaic block shapes need >=8 sublane rows (or the full dim):
+        # raise tk2 (default 512 gives 8 groups at group_size=128) or
+        # lower group_size so each k-tile spans >=8 scale rows.
+        if not interpret:
+            assert (groups_per_tile >= 8
+                    or groups_per_tile == kp // g2), (
+                f"groups_per_tile={groups_per_tile} < 8: raise tk2 or "
+                f"lower group_size")
         scales = jnp.pad(scales, ((0, kp // g2 - scales.shape[0]),
                                   (0, np_ - n)), constant_values=1.0)
         s_spec = pl.BlockSpec((groups_per_tile, tn),
@@ -146,7 +165,7 @@ def int4_matmul(
     out_dtype=jnp.bfloat16,
     tm: int = 64,
     tn: int = 256,
-    tk2: int = 256,
+    tk2: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     """``x @ dequant_int4(wp)`` reading the packed buffer once.
