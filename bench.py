@@ -51,7 +51,8 @@ def make_params(fmt: str):
     """Random-initialized serving params built directly in the target
     dtype (weights stream from HBM the same regardless of values; a 3B
     f32 init would not fit HBM next to the bf16 variant)."""
-    return random_serve_params(CFG, fmt, embed_fmt=fmt)
+    embed_fmt = {"bf16": "bf16", "int4": "e4m3"}.get(fmt, fmt)
+    return random_serve_params(CFG, fmt, embed_fmt=embed_fmt)
 
 
 def bench_variant(fmt: str, kv_fmt: str) -> float:

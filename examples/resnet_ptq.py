@@ -50,12 +50,15 @@ def load_data(args):
     if args.data_npz:
         d = np.load(args.data_npz)
         return jnp.asarray(d["x"], jnp.float32), jnp.asarray(d["y"])
+    # Learnable synthetic patterns (fp8tpu.data): class-conditional
+    # frequency content + noise, so PTQ top-1 deltas are meaningful
+    # (pure-noise data would make any accuracy comparison vacuous).
+    from fp8tpu.data import pattern_images
     hw = 32 if args.model == "tiny" else 224
-    key = jax.random.key(0)
-    x = jax.random.normal(key, (args.num_samples, hw, hw, 3))
-    y = jax.random.randint(jax.random.key(1), (args.num_samples,), 0,
-                           args.num_classes)
-    return x, y
+    n_cls = min(args.num_classes, 8)
+    x, y = pattern_images(args.num_samples, size=hw, n_classes=n_cls,
+                          seed=0)
+    return jnp.asarray(x), jnp.asarray(y)
 
 
 def evaluate(apply_fn, x, y, batch: int, log: MetricLogger):

@@ -34,11 +34,14 @@ def main():
     p.add_argument("--checkpoint-dir", default=None)
     args = p.parse_args()
 
-    cfg = ResNetConfig(stage_sizes=(1, 1), width=16, num_classes=10,
+    cfg = ResNetConfig(stage_sizes=(1, 1), width=16, num_classes=8,
                        small_images=True)
     model = ResNet(cfg)
-    x = jax.random.normal(jax.random.key(0), (256, 32, 32, 3))
-    y = jax.random.randint(jax.random.key(1), (256,), 0, 10)
+    # learnable class-conditional patterns (fp8tpu.data) — QAT top-1 is
+    # a real signal, not chance on noise
+    from fp8tpu.data import pattern_images
+    xs, ys = pattern_images(1024, size=32, n_classes=8, seed=0)
+    x, y = jnp.asarray(xs), jnp.asarray(ys)
     variables = model.init(jax.random.key(2), x[:2])
 
     # QAT policy: the PTQ preset, but weights re-quantized inside the step

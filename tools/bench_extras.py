@@ -99,22 +99,32 @@ def qdq_matmul_mfu():
     from fp8tpu.kernels import qdq_matmul
 
     M = K = N = 4096
+    REPS = 16
     x = jax.random.normal(jax.random.key(0), (M, K), jnp.float32)
     w = jax.random.normal(jax.random.key(1), (K, N), jnp.float32)
     xb, wb = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
 
+    # REPS chained matmuls inside one jit: the ~30 ms tunnel round-trip
+    # would otherwise dominate a single 1.4 ms dot.
     @jax.jit
     def plain(xb, wb):
-        return jnp.sum(jnp.dot(xb, wb,
-                               preferred_element_type=jnp.float32))
+        def body(c, _):
+            y = jnp.dot(c, wb, preferred_element_type=jnp.float32)
+            return (y * jnp.float32(1e-2)).astype(jnp.bfloat16), ()
+        c, _ = jax.lax.scan(body, xb, None, length=REPS)
+        return jnp.sum(c.astype(jnp.float32))
 
-    t_plain = _best(lambda: float(plain(xb, wb)))
+    t_plain = _best(lambda: float(plain(xb, wb))) / REPS
 
     @jax.jit
     def fused(x, w):
-        return jnp.sum(qdq_matmul(x, w, fmt_x="e4m3", fmt_w="e4m3"))
+        def body(c, _):
+            y = qdq_matmul(c, w, fmt_x="e4m3", fmt_w="e4m3")
+            return y * jnp.float32(1e-2), ()
+        c, _ = jax.lax.scan(body, x, None, length=REPS)
+        return jnp.sum(c)
 
-    t_fused = _best(lambda: float(fused(x, w)))
+    t_fused = _best(lambda: float(fused(x, w))) / REPS
     flops = 2 * M * K * N
     peak = 197e12  # v5e bf16 peak
     return {
@@ -128,16 +138,38 @@ def qdq_matmul_mfu():
 def cast_bandwidth():
     """Pallas cast kernel GB/s (read f32 + write f32)."""
     from fp8tpu.kernels import pallas_qdq
+    from fp8tpu.numerics.formats import RoundMode
 
     n = 64 * 1024 * 1024 // 4  # 64 MB of f32
+    REPS = 16
     x = jax.random.normal(jax.random.key(0), (n // 1024, 1024), jnp.float32)
 
     @jax.jit
     def run(x):
-        return jnp.sum(pallas_qdq(x, fmt="e4m3", mode="rne"))
+        def body(c, _):
+            return pallas_qdq(c * jnp.float32(1.0001), fmt="e4m3",
+                              mode=RoundMode.RNE), ()
+        c, _ = jax.lax.scan(body, x, None, length=REPS)
+        return jnp.sum(c)
 
-    t = _best(lambda: float(run(x)))
-    return {"cast_e4m3_rne_gbps": round(2 * x.nbytes / t / 1e9, 1)}
+    t = _best(lambda: float(run(x))) / REPS
+    out = {"cast_e4m3_rne_gbps": round(2 * x.nbytes / t / 1e9, 1)}
+
+    # the production-speed path: hardware-dtype cast (cast_impl='hw')
+    from fp8tpu.quant.config import TensorQuantConfig
+    from fp8tpu.quant.fakequant import fake_quant
+    cfg = TensorQuantConfig("e4m3", "rne", cast_impl="hw")
+
+    @jax.jit
+    def run_hw(x):
+        def body(c, _):
+            return fake_quant(c * jnp.float32(1.0001), cfg), ()
+        c, _ = jax.lax.scan(body, x, None, length=REPS)
+        return jnp.sum(c)
+
+    t = _best(lambda: float(run_hw(x))) / REPS
+    out["cast_e4m3_hw_gbps"] = round(2 * x.nbytes / t / 1e9, 1)
+    return out
 
 
 def decode_variants():
@@ -146,32 +178,18 @@ def decode_variants():
     import bench as benchmod
 
     out = {}
-    for fmt, kv in (("e4m3", "e4m3"), ("int4", "e4m3"), ("bf16", "bf16")):
+    for fmt, kv in (("e4m3", "int8"), ("e4m3", "e4m3"), ("int4", "int8"),
+                    ("bf16", "bf16")):
         tok = benchmod.bench_variant(fmt, kv)
-        out[f"decode_{fmt}_tok_s"] = round(tok, 1)
-    out["int4_vs_fp8"] = round(out["decode_int4_tok_s"]
-                               / out["decode_e4m3_tok_s"], 3)
-    out["fp8_vs_bf16"] = round(out["decode_e4m3_tok_s"]
-                               / out["decode_bf16_tok_s"], 3)
+        out[f"decode_{fmt}_kv{kv}_tok_s"] = round(tok, 1)
+    out["int4_vs_fp8"] = round(out["decode_int4_kvint8_tok_s"]
+                               / out["decode_e4m3_kvint8_tok_s"], 3)
+    out["fp8_vs_bf16"] = round(out["decode_e4m3_kvint8_tok_s"]
+                               / out["decode_bf16_kvbf16_tok_s"], 3)
     return out
 
 
-def main():
-    which = sys.argv[1:] or ["training", "mfu", "cast", "decode"]
-    res = {}
-    if "training" in which:
-        res["training"] = training_overhead()
-        print("training:", res["training"], flush=True)
-    if "mfu" in which:
-        res["qdq_matmul"] = qdq_matmul_mfu()
-        print("qdq_matmul:", res["qdq_matmul"], flush=True)
-    if "cast" in which:
-        res["cast"] = cast_bandwidth()
-        print("cast:", res["cast"], flush=True)
-    if "decode" in which:
-        res["decode"] = decode_variants()
-        print("decode:", res["decode"], flush=True)
-
+def _save(res):
     prev = {}
     if os.path.exists(OUT):
         with open(OUT) as f:
@@ -179,6 +197,19 @@ def main():
     prev.update(res)
     with open(OUT, "w") as f:
         json.dump(prev, f, indent=1)
+
+
+def main():
+    which = sys.argv[1:] or ["training", "mfu", "cast", "decode"]
+    sections = {"training": ("training", training_overhead),
+                "mfu": ("qdq_matmul", qdq_matmul_mfu),
+                "cast": ("cast", cast_bandwidth),
+                "decode": ("decode", decode_variants)}
+    for name in which:
+        key, fn = sections[name]
+        out = fn()
+        print(f"{key}:", out, flush=True)
+        _save({key: out})       # incremental: a later crash keeps results
     print("wrote", os.path.abspath(OUT))
 
 
