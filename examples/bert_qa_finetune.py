@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 import fp8tpu
@@ -29,7 +30,7 @@ from fp8tpu.models import (
 )
 from fp8tpu.training import make_train_step
 from fp8tpu.utils import MetricLogger
-from fp8tpu.utils.metrics import squad_em_f1
+from fp8tpu.utils.metrics import beam_search_spans, squad_em_f1
 
 
 def make_batch(key, batch_size, seq_len, vocab_size):
@@ -98,9 +99,10 @@ def main():
     print(f"final: {log}")
 
     # SQuAD-style evaluation (run_qa_no_trainer.py's `squad` metric at
-    # span level): predict argmax start/end on held-out batches.
+    # span level): argmax spans AND n-best beam-searched spans (the
+    # run_qa_beam_search_no_trainer.py decode — valid-pair constrained).
     eval_apply = jax.jit(lambda v, ids: model.apply(v, ids))
-    ps, pe, gs, ge = [], [], [], []
+    ps, pe, bs_, be, gs, ge = [], [], [], [], [], []
     for j in range(8):
         ids, starts, ends = make_batch(jax.random.fold_in(key, 10_000 + j),
                                        args.batch_size, args.seq_len,
@@ -108,11 +110,20 @@ def main():
         s_logits, e_logits = eval_apply(variables, ids)
         ps.append(jnp.argmax(s_logits, -1))
         pe.append(jnp.argmax(e_logits, -1))
+        b_s, b_e = beam_search_spans(s_logits, e_logits, n_best=20,
+                                     max_answer_len=8)
+        bs_.append(b_s)
+        be.append(b_e)
         gs.append(starts)
         ge.append(ends)
     m = squad_em_f1(jnp.concatenate(ps), jnp.concatenate(pe),
                     jnp.concatenate(gs), jnp.concatenate(ge))
-    print(f"eval: exact_match {m['exact_match']:.2f}  f1 {m['f1']:.2f}")
+    mb = squad_em_f1(np.concatenate(bs_), np.concatenate(be),
+                     jnp.concatenate(gs), jnp.concatenate(ge))
+    print(f"eval argmax: exact_match {m['exact_match']:.2f} "
+          f"f1 {m['f1']:.2f}")
+    print(f"eval beam:   exact_match {mb['exact_match']:.2f} "
+          f"f1 {mb['f1']:.2f}")
 
 
 if __name__ == "__main__":

@@ -53,23 +53,27 @@ def _round_up(x: int, m: int) -> int:
 def quantize_weights(
     w: jax.Array, fmt: str = "e4m3", axis: int = -1
 ) -> tuple[jax.Array, jax.Array]:
-    """Quantize a weight matrix to real FP8 storage.
+    """Quantize a weight matrix to real FP8 (or int8) storage.
 
-    Returns ``(payload, scales)`` with ``payload`` in the hardware fp8
-    dtype and float32 ``scales`` per slice of ``axis`` (the output-channel
+    Returns ``(payload, scales)`` with ``payload`` in the hardware dtype
+    and float32 ``scales`` per slice of ``axis`` (the output-channel
     axis), such that ``w ≈ payload.astype(f32) * scales``.
 
     This is the *production* quantizer (clamp + IEEE RNE convert), not the
     emulation-parity cast: serving wants spec-exact grid values so the
     payload round-trips the hardware dtype losslessly.
     """
-    if fmt not in _FP8_DTYPES:
-        raise ValueError(f"no hardware dtype for {fmt!r}; serve with e4m3 "
-                         "or e5m2 (e3m4/fp4 use the emulation path)")
-    fdesc = FORMATS[fmt]
     wf = w.astype(jnp.float32)
     reduce_axes = tuple(i for i in range(w.ndim) if i != axis % w.ndim)
     amax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
+    if fmt == "int8":
+        scales = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(wf / scales), -127, 127)
+        return q.astype(jnp.int8), scales.astype(jnp.float32)
+    if fmt not in _FP8_DTYPES:
+        raise ValueError(f"no hardware dtype for {fmt!r}; serve with e4m3, "
+                         "e5m2 or int8 (e3m4/fp4 use the emulation path)")
+    fdesc = FORMATS[fmt]
     scales = jnp.where(amax > 0, amax / fdesc.max_normal, 1.0)
     q = jnp.clip(wf / scales, -fdesc.max_normal, fdesc.max_normal)
     payload = q.astype(_FP8_DTYPES[fmt])

@@ -38,7 +38,8 @@ from fp8tpu.kernels.qmatmul import quantize_weights
 from fp8tpu.models.transformer import DecoderConfig, rope_freqs
 from .kv_cache import PagedKVCache, RingKVCache, quantize_kv
 
-_FP8_DTYPES = {"e4m3": jnp.float8_e4m3fn, "e5m2": jnp.float8_e5m2}
+_FP8_DTYPES = {"e4m3": jnp.float8_e4m3fn, "e5m2": jnp.float8_e5m2,
+               "int8": jnp.int8}
 _NEG = -1e30  # finite mask value keeps exp() NaN-free for empty slots
 
 
@@ -230,6 +231,10 @@ def random_serve_params(cfg: DecoderConfig, fmt: str = "e4m3",
         def w(key, k, n):
             return jax.random.randint(key, (L, k // 2, n), 0, 256,
                                       jnp.int32).astype(jnp.uint8)
+    elif fmt == "int8":
+        def w(key, k, n):
+            return jax.random.randint(key, (L, k, n), -127, 128,
+                                      jnp.int32).astype(jnp.int8)
     else:
         dt = jnp.bfloat16 if fmt == "bf16" else _FP8_DTYPES[fmt]
 
@@ -253,7 +258,12 @@ def random_serve_params(cfg: DecoderConfig, fmt: str = "e4m3",
         "final_norm": jnp.ones((Dm,), jnp.float32),
     }
     if embed_fmt != "bf16":
-        out["embed"] = out["embed"].astype(_FP8_DTYPES[embed_fmt])
+        if embed_fmt == "int8":
+            out["embed"] = jax.random.randint(
+                ks[7], (cfg.vocab_size, Dm), -127, 128,
+                jnp.int32).astype(jnp.int8)
+        else:
+            out["embed"] = out["embed"].astype(_FP8_DTYPES[embed_fmt])
         out["embed_s"] = jnp.ones((cfg.vocab_size,), jnp.float32)
     return out
 

@@ -111,6 +111,40 @@ def all_reduce_mean(value, axis_name: Optional[str] = None):
     return jax.lax.pmean(value, axis_name)
 
 
+def beam_search_spans(start_logits, end_logits, n_best: int = 20,
+                      max_answer_len: int = 30):
+    """N-best span selection — the decode step of the reference's
+    run_qa_beam_search_no_trainer.py: take the top-k start and end
+    logits, score every valid (start <= end, length-bounded) pair by
+    summed logits, and return the best span per example.
+
+    start_logits/end_logits: (B, S) arrays.  Returns (starts, ends)
+    int arrays of shape (B,).
+    """
+    sl = np.asarray(start_logits)
+    el = np.asarray(end_logits)
+    B, S = sl.shape
+    k = min(n_best, S)
+    top_s = np.argpartition(-sl, k - 1, axis=1)[:, :k]
+    top_e = np.argpartition(-el, k - 1, axis=1)[:, :k]
+    starts = np.zeros(B, np.int64)
+    ends = np.zeros(B, np.int64)
+    for b in range(B):
+        best = -np.inf
+        for s in top_s[b]:
+            for e in top_e[b]:
+                if e < s or e - s + 1 > max_answer_len:
+                    continue
+                score = sl[b, s] + el[b, e]
+                if score > best:
+                    best = score
+                    starts[b], ends[b] = s, e
+        if not np.isfinite(best):          # no valid pair: greedy fallback
+            starts[b] = int(np.argmax(sl[b]))
+            ends[b] = max(int(np.argmax(el[b])), starts[b])
+    return starts, ends
+
+
 def squad_em_f1(pred_starts, pred_ends, gold_starts, gold_ends):
     """SQuAD-style span metrics: exact match and token-overlap F1.
 

@@ -41,6 +41,28 @@ def test_mesh_shape():
     assert dict(mesh3.shape) == {"host": 2, "data": 2, "seq": 1, "model": 2}
 
 
+def test_sr_streams_device_layout_invariant(decoder_setup, rng):
+    """Stochastic-rounding draws are counter-based (key x module path),
+    so the SAME step must produce bit-identical results whether params/
+    batch are replicated on one device or sharded over the mesh — the
+    multi-host reproducibility contract (SURVEY §5.2)."""
+    from fp8tpu.quant.config import TensorQuantConfig
+    from fp8tpu.quant.fakequant import fake_quant
+
+    x = jnp.asarray(rng.standard_normal((16, 64)), jnp.float32)
+    cfg = TensorQuantConfig("e4m3", "stochastic")
+    key = jax.random.key(7)
+
+    single = np.asarray(fake_quant(x, cfg, key))
+
+    mesh = make_mesh(data=2, model=4)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "model")))
+    with mesh:
+        sharded = np.asarray(jax.jit(
+            lambda x, k: fake_quant(x, cfg, k))(xs, key))
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_tp_qmatmul_parity(rng):
     """shard_map column->row TP q-matmul pipeline (overlapped psum) vs a
     dense single-device computation with the same quantized weights."""

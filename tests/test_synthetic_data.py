@@ -45,6 +45,26 @@ def test_pattern_images_learnable():
     assert acc > 0.5, acc
 
 
+def test_beam_search_spans():
+    from fp8tpu.utils.metrics import beam_search_spans
+    # argmax start (idx 5) comes AFTER argmax end (idx 2): greedy picks
+    # an invalid pair; beam search finds the best VALID one.
+    sl = np.full((1, 8), -10.0)
+    el = np.full((1, 8), -10.0)
+    sl[0, 5] = 5.0
+    sl[0, 1] = 4.0
+    el[0, 2] = 5.0
+    el[0, 6] = 4.0
+    s, e = beam_search_spans(sl, el, n_best=4, max_answer_len=4)
+    # candidates: (5,6)=9.0 valid; (1,2)=9.0 valid; both beat mixed pairs
+    assert (s[0], e[0]) in ((5, 6), (1, 2))
+    assert s[0] <= e[0]
+
+    # length bound forces the shorter span
+    s, e = beam_search_spans(sl, el, n_best=4, max_answer_len=2)
+    assert e[0] - s[0] + 1 <= 2
+
+
 def test_squad_em_f1():
     m = squad_em_f1([3, 5, 0], [6, 9, 2], [3, 6, 9], [6, 8, 9])
     # span1 exact; span2 overlaps [6..8] pred [5..9]: inter 3, p=3/5,

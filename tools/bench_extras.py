@@ -178,14 +178,16 @@ def decode_variants():
     import bench as benchmod
 
     out = {}
-    for fmt, kv in (("e4m3", "int8"), ("e4m3", "e4m3"), ("int4", "int8"),
-                    ("bf16", "bf16")):
+    for fmt, kv in (("e4m3", "int8"), ("e4m3", "e4m3"), ("int8", "int8"),
+                    ("int4", "int8"), ("bf16", "bf16")):
         tok = benchmod.bench_variant(fmt, kv)
         out[f"decode_{fmt}_kv{kv}_tok_s"] = round(tok, 1)
     out["int4_vs_fp8"] = round(out["decode_int4_kvint8_tok_s"]
                                / out["decode_e4m3_kvint8_tok_s"], 3)
     out["fp8_vs_bf16"] = round(out["decode_e4m3_kvint8_tok_s"]
                                / out["decode_bf16_kvbf16_tok_s"], 3)
+    out["int8_vs_bf16"] = round(out["decode_int8_kvint8_tok_s"]
+                                / out["decode_bf16_kvbf16_tok_s"], 3)
     return out
 
 
