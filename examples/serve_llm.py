@@ -26,10 +26,15 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--d-model", type=int, default=512)
     p.add_argument("--n-layers", type=int, default=8)
-    p.add_argument("--weight-fmt", default="e4m3",
-                   choices=["e4m3", "e5m2", "bf16"])
-    p.add_argument("--kv-fmt", default="e4m3",
-                   choices=["e4m3", "e5m2", "bf16"])
+    # int8 payloads measured fastest AND most accurate on v5e
+    # (README perf table); fp8 e4m3 is the emulation-parity default.
+    p.add_argument("--weight-fmt", default="int8",
+                   choices=["int8", "e4m3", "e5m2", "int4", "bf16"])
+    p.add_argument("--kv-fmt", default="int8",
+                   choices=["int8", "e4m3", "e5m2", "bf16"])
+    p.add_argument("--paged", action="store_true",
+                   help="page-pool KV memory (long context) instead of "
+                        "the ring")
     p.add_argument("--slots", type=int, default=4)
     p.add_argument("--max-seq", type=int, default=512)
     p.add_argument("--requests", type=int, default=8)
@@ -51,7 +56,7 @@ def main():
     scfg = ServeConfig(model=cfg, weight_fmt=args.weight_fmt,
                        kv_fmt=args.kv_fmt)
     engine = ServingEngine(params, scfg, n_slots=args.slots,
-                           max_seq=args.max_seq)
+                           max_seq=args.max_seq, use_paged=args.paged)
     reqs = [Request(uid=i, prompt=list(range(1 + i, 12 + i)),
                     max_new_tokens=args.max_new_tokens,
                     temperature=args.temperature)

@@ -210,11 +210,14 @@ class PagedKVCache:
     memory management, TPU-shaped (static shapes, gather by page id).
 
     Per-step cost vs the ring: decode attention gathers the mapped pages
-    into a contiguous view before the attention einsums, which costs one
-    extra write+read of the live KV bytes (measured ~1.3-1.6x the ring's
-    step time at bench shapes — see tools/bench_paged.py).  That premium
-    buys unbounded context and page sharing; a Pallas paged-attention
-    kernel with per-page DMA would remove it and is future work.
+    into a contiguous view before the attention einsums — an extra
+    materialization (and relayout) of the live KV bytes every step.
+    Measured at 1B-class shapes the ring decodes ~3.3x faster
+    (tools/bench_paged.py; PERF_EXTRAS.json "paged").  The premium buys
+    context beyond the ring window and page-granular memory reclamation;
+    use the ring for throughput serving and pages for long-context.  A
+    Pallas paged-attention kernel with per-page DMA would close most of
+    the gap and is future work.
 
     Layouts keep the flattened (page_size*KV) axis second-minor so fp8's
     (32, 128) tile never pads (NOTES.md):

@@ -1,11 +1,14 @@
-"""Production serving decoder: FP8 weights + FP8 ring KV cache.
+"""Production serving decoder: quantized weights + quantized ring KV cache.
 
 This is the *real-quantization* twin of :class:`fp8tpu.models.Decoder`:
-weights live in HBM as fp8 payloads with per-output-channel scales
-(:func:`fp8tpu.kernels.quantize_weights`), the KV cache stores fp8 with
-per-head-vector scales in a ring buffer (:class:`RingKVCache`), and a
-whole decode chunk (n steps x all layers, with on-device sampling)
-compiles into one XLA computation.
+weights live in HBM as fp8/int8 payloads with per-output-channel scales
+(:func:`fp8tpu.kernels.quantize_weights`; int4 nibble-packed as the
+capacity option), the KV cache stores fp8/int8 with per-head-vector
+scales in a ring buffer (:class:`RingKVCache`), and a whole decode chunk
+(n steps x all layers, with on-device sampling) compiles into one XLA
+computation.  On v5e, int8 payloads are the measured-best configuration
+for BOTH weights and KV (throughput and accuracy — README perf table);
+e4m3 is the fp8 headline the BASELINE gate names.
 
 Design notes (all profiled on a v5e chip):
 

@@ -140,6 +140,41 @@ def test_engine_batch_isolation(setup):
     assert solo[0] == paired[0]
 
 
+def test_int8_weight_serving(setup):
+    """int8 (W8A16) weight payloads: quantizer round-trip and the decode
+    path produce logits tracking the bf16-weight twin at least as
+    tightly as fp8 weights (the v5e production recommendation)."""
+    import dataclasses
+    from fp8tpu.kernels.qmatmul import quantize_weights
+    cfg, m, variables, scfg, _ = setup
+
+    w = jnp.asarray(np.random.default_rng(0).standard_normal((32, 16)),
+                    jnp.float32) * 0.3
+    p8, s = quantize_weights(w, "int8")
+    assert p8.dtype == jnp.int8
+    deq = p8.astype(jnp.float32) * s
+    assert float(jnp.abs(deq - w).max() / jnp.abs(w).max()) < 0.01
+
+    prompt = jnp.asarray([3, 14, 15, 92], jnp.int32)
+
+    def logits_with(fmt):
+        sc = dataclasses.replace(scfg, weight_fmt=fmt)
+        sp = convert_decoder_params(variables, cfg, fmt=fmt)
+        cache = RingKVCache.create(cfg.n_layers, 1, 32, cfg.n_kv_heads,
+                                   cfg.head_dim, "e4m3")
+        out, _ = prefill(sp, cache, jnp.pad(prompt, (0, 28)),
+                         jnp.int32(0), jnp.int32(4), sc)
+        return np.asarray(out)
+
+    ref = logits_with("bf16")
+    e4 = logits_with("e4m3")
+    i8 = logits_with("int8")
+    assert np.isfinite(i8).all()
+    err_e4 = np.abs(e4 - ref).mean()
+    err_i8 = np.abs(i8 - ref).mean()
+    assert err_i8 <= err_e4 * 1.1, (err_i8, err_e4)
+
+
 def test_int8_kv_cache_decode(setup):
     """int8 KV (same bytes, 7 value bits) must run the decode path and
     track the bf16-cache logits at least as tightly as e4m3 KV."""

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Paged vs ring KV decode cost (the documented premium of the paged
+path's per-step gather — PagedKVCache docstring, VERDICT r1 §5).
+
+1B-class decoder, 32 slots, 512-token context.  Appends {"paged": ...}
+to PERF_EXTRAS.json.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fp8tpu.models import DecoderConfig
+from fp8tpu.serve import PagedKVCache, RingKVCache, ServeConfig
+from fp8tpu.serve.model import (decode_steps, decode_steps_paged,
+                                random_serve_params)
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "PERF_EXTRAS.json")
+
+CFG = DecoderConfig(vocab_size=32768, d_model=2048, n_layers=12,
+                    n_heads=16, n_kv_heads=4, d_ff=5504, max_seq_len=512)
+B, S, STEPS, DEPTH, WARM = 32, 512, 64, 3, 440
+PAGE = 64
+
+scfg = ServeConfig(model=CFG, weight_fmt="e4m3", kv_fmt="int8",
+                   embed_fmt="e4m3")
+params = random_serve_params(CFG, "e4m3", embed_fmt="e4m3")
+tokens = jnp.ones((B,), jnp.int32)
+pos0 = jnp.full((B,), WARM, jnp.int32)
+temp = jnp.zeros((B,), jnp.float32)
+key = jax.random.key(0)
+
+
+def measure(decode, cache):
+    toks, cache = decode(params, cache, tokens, pos0, key, temp, STEPS,
+                         scfg)
+    np.asarray(toks).sum()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(DEPTH):
+            toks, cache = decode(params, cache, tokens, pos0, key, temp,
+                                 STEPS, scfg)
+        np.asarray(toks).sum()
+        best = min(best, time.perf_counter() - t0)
+    return B * STEPS * DEPTH / best
+
+
+ring = RingKVCache.create(CFG.n_layers, B, S, CFG.n_kv_heads,
+                          CFG.head_dim, "int8")
+ring = dataclasses.replace(ring, head=jnp.int32(WARM))
+ring_tok = measure(decode_steps, ring)
+del ring
+
+mp = S // PAGE
+paged = PagedKVCache.create(B * mp, PAGE, CFG.n_layers, B, mp,
+                            CFG.n_kv_heads, CFG.head_dim, "int8")
+for b in range(B):
+    paged = paged.assign_pages(b, jnp.arange(mp), jnp.arange(mp) + b * mp)
+paged_tok = measure(decode_steps_paged, paged)
+
+ratio = ring_tok / paged_tok
+print(f"ring:  {ring_tok:.0f} tok/s")
+print(f"paged: {paged_tok:.0f} tok/s  (ring is {ratio:.2f}x faster; the "
+      f"paged gather re-materializes the live KV bytes each step)")
+
+prev = {}
+if os.path.exists(OUT):
+    with open(OUT) as f:
+        prev = json.load(f)
+prev["paged"] = {"model": "1B-class d2048 L12", "ring_tok_s":
+                 round(ring_tok, 1), "paged_tok_s": round(paged_tok, 1),
+                 "ring_over_paged": round(ratio, 3)}
+with open(OUT, "w") as f:
+    json.dump(prev, f, indent=1)
+print("wrote", os.path.abspath(OUT))
