@@ -18,17 +18,10 @@ scales shard with their channel axis.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-try:  # jax>=0.6 moved shard_map out of experimental
-    from jax.sharding import shard_map  # type: ignore
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map  # type: ignore
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _dequant_dot(x, w8, s):

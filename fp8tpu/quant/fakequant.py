@@ -232,3 +232,28 @@ def quantize_grad(g: jax.Array, cfg: Optional[TensorQuantConfig],
     if cfg is None:
         return g
     return _quantize_impl(g, cfg, key)
+
+
+def fake_quant_sparse(x, cfg: TensorQuantConfig,
+                      key: Optional[jax.Array] = None):
+    """Fake-quantize a sparse array by casting its stored values only.
+
+    The reference's FPEmuOp special-cases torch sparse COO tensors by
+    quantizing ``tensor._values()`` and rebuilding the sparse tensor
+    (pytquant/cpp/fpemu.py:46-58).  The JAX analog: a BCOO/BCSR array's
+    ``data`` leaf is cast (per-tensor/none scaling — data carries no
+    channel structure) and the indices pass through untouched.  Dense
+    arrays fall through to :func:`fake_quant`.
+    """
+    from jax.experimental import sparse as jsparse
+
+    if isinstance(x, jsparse.JAXSparse):
+        if cfg.scaling not in ("none", "per-tensor"):
+            raise ValueError(
+                f"sparse fake-quant supports none/per-tensor scaling, "
+                f"got {cfg.scaling!r} (matching the reference, which "
+                "applies one scale to the COO values)")
+        qdata = fake_quant(x.data, cfg, key)
+        children, aux = x.tree_flatten()
+        return type(x).tree_unflatten(aux, (qdata,) + tuple(children[1:]))
+    return fake_quant(x, cfg, key)

@@ -83,10 +83,7 @@ assert err < 5e-2, f"tp_mlp parity failed: rel err {err}"
 
 # cross-host psum over the DCN (host) axis
 ones = put(np.ones((4 * nproc, 8), np.float32), P(("host", "data"), None))
-try:
-    from jax.sharding import shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 tot = shard_map(lambda a: jax.lax.psum(jnp.sum(a), ("host", "data")),
                 mesh=mesh, in_specs=(P(("host", "data"), None),),

@@ -151,3 +151,24 @@ def test_qdq_accepts_bf16_input(rng):
 def test_sr_requires_entropy():
     with pytest.raises(ValueError):
         qdq(jnp.ones((4,)), "e4m3", RoundMode.STOCHASTIC)
+
+
+def test_fake_quant_sparse_bcoo(rng):
+    """Sparse arrays cast their stored values only (the reference
+    FPEmuOp's COO handling, pytquant/cpp/fpemu.py:46-58)."""
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsparse
+    from fp8tpu.quant.config import TensorQuantConfig
+    from fp8tpu.quant.fakequant import fake_quant, fake_quant_sparse
+
+    x = np.zeros((8, 8), np.float32)
+    x[1, 2], x[5, 5], x[0, 7] = 1.37, -0.021, 300.0
+    sp = jsparse.BCOO.fromdense(jnp.asarray(x))
+    cfg = TensorQuantConfig("e4m3", "rne")
+    q = fake_quant_sparse(sp, cfg)
+    assert isinstance(q, jsparse.BCOO)
+    want = np.asarray(fake_quant(jnp.asarray(x), cfg))
+    np.testing.assert_allclose(np.asarray(q.todense()), want, rtol=1e-6)
+    # dense passthrough
+    d = fake_quant_sparse(jnp.asarray(x), cfg)
+    np.testing.assert_allclose(np.asarray(d), want, rtol=1e-6)
