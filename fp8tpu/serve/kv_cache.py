@@ -288,9 +288,14 @@ class PagedKVCache:
         """
         KV = self.kv_heads
         B = pos.shape[0]
-        pg = jnp.take_along_axis(
-            self.page_table, (pos // self.page_size)[:, None], axis=1)[:, 0]
-        pg = jnp.maximum(pg, 0)                       # unmapped → page 0
+        lp = jnp.minimum(pos // self.page_size, self.max_pages - 1)
+        pg = jnp.take_along_axis(self.page_table, lp[:, None],
+                                 axis=1)[:, 0]
+        # Writes to unmapped pages or beyond max_seq are DROPPED via an
+        # out-of-range page id — never redirected onto a live page (a
+        # slot overrunning its allocation must not corrupt another's).
+        n_pages = self.pool.shape[0]
+        pg = jnp.where((pg >= 0) & (pos < self.max_seq), pg, n_pages)
         rows = (pos % self.page_size)[:, None] * KV + jnp.arange(KV)[None]
         # updates indexed (B, KV, L, D) / (B, KV, L)
         uk8 = fk8.transpose(1, 2, 0, 3)
@@ -300,11 +305,11 @@ class PagedKVCache:
         pool = self.pool
         sc = self.sc
         pool = pool.at[pg[:, None], 0, :, rows, :].set(
-            uk8.astype(pool.dtype))
+            uk8.astype(pool.dtype), mode="drop")
         pool = pool.at[pg[:, None], 1, :, rows, :].set(
-            uv8.astype(pool.dtype))
-        sc = sc.at[pg[:, None], 0, :, rows].set(uks)
-        sc = sc.at[pg[:, None], 1, :, rows].set(uvs)
+            uv8.astype(pool.dtype), mode="drop")
+        sc = sc.at[pg[:, None], 0, :, rows].set(uks, mode="drop")
+        sc = sc.at[pg[:, None], 1, :, rows].set(uvs, mode="drop")
         return dataclasses.replace(self, pool=pool, sc=sc)
 
     def gather(self) -> Tuple[jax.Array, jax.Array]:

@@ -97,13 +97,13 @@ def quantize_weights_int4(w: jax.Array) -> tuple:
     Two K-adjacent values share one byte (w[2k] in the low nibble); the
     decode matmul splits the contraction into even/odd halves over the
     packed bytes.  W4A16 HALVES weight memory vs fp8 (a 7B model's
-    weights fit in ~3.5 GB), doubling model capacity per chip;
-    throughput currently matches the fp8 path rather than beating it —
-    XLA reads the packed buffer once per half-contraction, so the
-    HBM-traffic win needs a single-pass Pallas unpack kernel (and
-    grouped AWQ-class scales need the same kernel); both are noted as
-    future work in NOTES.md.  INT4 is part of the reference's format
-    surface (qutils.py:216-247).
+    weights fit in ~3.5 GB), doubling model capacity per chip.  On v5e
+    int4 is a CAPACITY mode, not a speed win: the single-pass Pallas
+    unpack kernel exists (kernels/int4_matmul.py, with AWQ-class grouped
+    scales) but Mosaic's int32-widened unpack costs more than the bytes
+    it saves, so this XLA two-pass formulation stays the production
+    route (measured in NOTES.md r2).  INT4 is part of the reference's
+    format surface (qutils.py:216-247).
 
     Returns (packed (K/2, N) uint8, scales (N,) f32).
     """
@@ -779,9 +779,11 @@ def prefill_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
     # pk8: (L, Sp, KV, D).  Scatter each prompt token into the slot's
     # pages; invalid (padding) rows get an out-of-range page id and drop.
     tpos = jnp.arange(Sp)
-    pg = paged.page_table[slot, tpos // page]             # (Sp,)
+    lp = jnp.minimum(tpos // page, paged.max_pages - 1)
+    pg = paged.page_table[slot, lp]                       # (Sp,)
     n_pages_total = paged.pool.shape[0]
-    pg = jnp.where((tpos < length) & (pg >= 0), pg, n_pages_total)
+    valid = (tpos < jnp.minimum(length, paged.max_seq)) & (pg >= 0)
+    pg = jnp.where(valid, pg, n_pages_total)              # overruns drop
     rows = (tpos % page)[:, None] * KV + jnp.arange(KV)[None]   # (Sp, KV)
     uk8 = pk8.transpose(1, 2, 0, 3)                       # (Sp, KV, L, D)
     uv8 = pv8.transpose(1, 2, 0, 3)

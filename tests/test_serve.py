@@ -289,6 +289,37 @@ def test_paged_long_context_beyond_ring(setup):
     assert corr > 0.98, corr
 
 
+def test_paged_overrun_writes_dropped(setup):
+    """A slot decoding past its mapped pages (or max_seq) must NOT
+    corrupt other slots' pages — overrun writes drop."""
+    from fp8tpu.serve.model import decode_step_paged
+    cfg, _, _, scfg, sparams = setup
+    pc = _paged_pool(cfg, n_slots=2, n_pages=16, page_size=8, max_pages=2)
+    # slot 1 only gets ONE page mapped (8 tokens); slot 0 gets two
+    pc = dataclasses_replace_table(pc, 1, [-1])
+    before = np.asarray(pc.pool, np.float32).copy()
+
+    # slot 1 writes at pos 12 -> logical page 1 (unmapped); slot 0 at 3
+    _, pc = decode_step_paged(sparams, pc,
+                              jnp.asarray([5, 6], jnp.int32),
+                              jnp.asarray([3, 12], jnp.int32), scfg)
+    after = np.asarray(pc.pool, np.float32)
+    # slot 0's page (physical 0) changed; slot 1's unmapped write vanished
+    assert (after[0] != before[0]).any()
+    # no page outside slot 0's mapping changed except via slot 0's write:
+    # physical pages 2..15 belong to nobody else's pos-3 write
+    for p in range(2, 16):
+        np.testing.assert_array_equal(after[p], before[p])
+
+
+def dataclasses_replace_table(pc, slot, unmap_logical):
+    import dataclasses as _dc
+    table = np.asarray(pc.page_table).copy()
+    for lp in unmap_logical:
+        table[slot, lp] = -1
+    return _dc.replace(pc, page_table=jnp.asarray(table))
+
+
 def test_engine_paged_mode(setup):
     """Continuous batching over the page pool: admission maps pages,
     retirement frees them, outputs match the ring engine's."""
