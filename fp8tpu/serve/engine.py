@@ -28,6 +28,8 @@ class Request:
     prompt: List[int]
     max_new_tokens: int = 32
     temperature: float = 0.0     # 0 → greedy
+    top_k: int = 0               # 0 → disabled
+    top_p: float = 1.0           # >= 1 → disabled
     eos_id: Optional[int] = None
 
 
@@ -37,6 +39,8 @@ class _SlotState:
     pos: int                     # next write position
     remaining: int
     temperature: float
+    top_k: int
+    top_p: float
     eos_id: Optional[int]
     tokens: List[int]            # generated tokens
 
@@ -137,11 +141,21 @@ class ServingEngine:
         temps = jnp.asarray([
             self.slots[i].temperature if self.slots[i] else 0.0
             for i in range(self.n_slots)], jnp.float32)
+        # Only engage the top-k/top-p filter program when some active
+        # request asked for it (keeps the plain path's compilation).
+        tks = [self.slots[i].top_k if self.slots[i] else 0
+               for i in range(self.n_slots)]
+        tps = [self.slots[i].top_p if self.slots[i] else 1.0
+               for i in range(self.n_slots)]
+        filtering = any(k > 0 for k in tks) or any(p < 1.0 for p in tps)
+        top_k = jnp.asarray(tks, jnp.int32) if filtering else None
+        top_p = jnp.asarray(tps, jnp.float32) if filtering else None
         self.key, sub = jax.random.split(self.key)
         decode = decode_steps_paged if self.use_paged else decode_steps
         toks, self.cache = decode(
             self.params, self.cache, jnp.asarray(self._tokens),
-            jnp.asarray(self._positions), sub, temps, chunk, self.cfg)
+            jnp.asarray(self._positions), sub, temps, chunk, self.cfg,
+            top_k=top_k, top_p=top_p)
         toks = np.asarray(toks)                     # (B, chunk)
         for i, st in enumerate(self.slots):
             if st is None:
@@ -186,11 +200,11 @@ class ServingEngine:
             logits, self.cache = do_prefill(
                 self.params, self.cache, jnp.asarray(padded),
                 jnp.int32(i), jnp.int32(len(prompt)), self.cfg)
-            first = self._sample(logits[None])[0]
+            first = self._sample_first(logits, req)
             self.slots[i] = _SlotState(
                 uid=req.uid, pos=len(prompt), remaining=req.max_new_tokens,
-                temperature=req.temperature, eos_id=req.eos_id,
-                tokens=[int(first)])
+                temperature=req.temperature, top_k=req.top_k,
+                top_p=req.top_p, eos_id=req.eos_id, tokens=[int(first)])
             self._tokens[i] = int(first)
             self._positions[i] = len(prompt)
             # First sampled token counts toward the budget.
@@ -198,17 +212,15 @@ class ServingEngine:
             if self.slots[i].remaining <= 0:
                 self._retire(i)
 
-    def _sample(self, logits: jax.Array) -> np.ndarray:
-        temps = np.array([
-            self.slots[i].temperature if self.slots[i] else 0.0
-            for i in range(logits.shape[0])
-        ] if logits.shape[0] == self.n_slots else [0.0] * logits.shape[0],
-            np.float32)
-        if (temps <= 0).all():
-            return np.asarray(jnp.argmax(logits, axis=-1))
+    def _sample_first(self, logits: jax.Array, req: Request) -> int:
+        """Sample the admitted request's first token with ITS sampling
+        params (the chunked decode handles subsequent tokens)."""
+        from .model import sample_tokens
         self.key, sub = jax.random.split(self.key)
-        scaled = logits / jnp.maximum(jnp.asarray(temps)[:, None], 1e-6)
-        sampled = jax.random.categorical(sub, scaled, axis=-1)
-        greedy = jnp.argmax(logits, axis=-1)
-        return np.asarray(jnp.where(jnp.asarray(temps) > 0, sampled,
-                                    greedy))
+        filtering = req.top_k > 0 or req.top_p < 1.0
+        tok = sample_tokens(
+            logits[None], sub,
+            jnp.asarray([req.temperature], jnp.float32),
+            jnp.asarray([req.top_k], jnp.int32) if filtering else None,
+            jnp.asarray([req.top_p], jnp.float32) if filtering else None)
+        return int(np.asarray(tok)[0])

@@ -333,10 +333,45 @@ def _attend_ring(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs, head, lens,
     return ctx.reshape(B, H * D).astype(q.dtype)
 
 
+_CANDIDATES = 64     # top-k/top-p candidate pool (k is clamped to this)
+
+
+def sample_tokens(logits: jax.Array, key: jax.Array,
+                  temperature: jax.Array, top_k=None,
+                  top_p=None) -> jax.Array:
+    """On-device per-slot sampling: temperature (0 → greedy), optional
+    top-k (0 disables) and nucleus top-p (>= 1 disables) filtering over
+    a ``_CANDIDATES``-wide pool (one lax.top_k over the vocab instead of
+    a full sort — the standard serving-cost trade)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    if top_k is None and top_p is None:
+        sampled = jax.random.categorical(key, scaled,
+                                         axis=-1).astype(jnp.int32)
+        return jnp.where(temperature > 0, sampled, greedy)
+    vals, idx = jax.lax.top_k(scaled, _CANDIDATES)           # (B, C)
+    if top_k is not None:
+        k = jnp.where((top_k <= 0) | (top_k > _CANDIDATES),
+                      _CANDIDATES, top_k)
+        vals = jnp.where(jnp.arange(_CANDIDATES)[None] < k[:, None],
+                         vals, _NEG)
+    if top_p is not None:
+        p = jnp.where((top_p <= 0) | (top_p >= 1), 1.0, top_p)
+        probs = jax.nn.softmax(vals, axis=-1)
+        csum = jnp.cumsum(probs, axis=-1)
+        # keep a token while the mass BEFORE it is < p (the argmax token
+        # always survives)
+        vals = jnp.where((csum - probs) < p[:, None], vals, _NEG)
+    choice = jax.random.categorical(key, vals, axis=-1)
+    sampled = jnp.take_along_axis(idx, choice[:, None],
+                                  axis=1)[:, 0].astype(jnp.int32)
+    return jnp.where(temperature > 0, sampled, greedy)
+
+
 def _steps_impl(params: Dict, ring: RingKVCache, tokens: jax.Array,
                 positions: jax.Array, key: jax.Array,
                 temperature: jax.Array, n_steps: int, cfg: ServeConfig,
-                want_logits: bool):
+                want_logits: bool, top_k=None, top_p=None):
     mcfg = cfg.model
     H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
     B = tokens.shape[0]
@@ -413,11 +448,7 @@ def _steps_impl(params: Dict, ring: RingKVCache, tokens: jax.Array,
 
         h = _rms(h, params["final_norm"], mcfg.norm_eps)
         logits = _lm_head(params, h)
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
-        sampled = jax.random.categorical(step_key, scaled,
-                                         axis=-1).astype(jnp.int32)
-        nxt = jnp.where(temperature > 0, sampled, greedy)
+        nxt = sample_tokens(logits, step_key, temperature, top_k, top_p)
         out = logits if want_logits else nxt
         return (nxt, pos + 1, kv8, sc, head), out
 
@@ -431,15 +462,19 @@ def _steps_impl(params: Dict, ring: RingKVCache, tokens: jax.Array,
          donate_argnames=("ring",))
 def decode_steps(params: Dict, ring: RingKVCache, tokens: jax.Array,
                  positions: jax.Array, key: jax.Array,
-                 temperature: jax.Array, n_steps: int, cfg: ServeConfig
+                 temperature: jax.Array, n_steps: int, cfg: ServeConfig,
+                 top_k=None, top_p=None
                  ) -> Tuple[jax.Array, RingKVCache]:
     """``n_steps`` decode steps with on-device sampling in ONE compiled
     program — amortizes dispatch; the host re-enters only for admission /
     retirement between chunks.  temperature: (B,) f32, 0 → greedy.
-    The input ring is DONATED.  Returns (sampled tokens (B, n_steps),
-    ring)."""
+    The input ring is DONATED.  Optional per-slot ``top_k`` (B,) int32
+    (0 disables) and nucleus ``top_p`` (B,) f32 (>=1 disables) filter the
+    sampled distribution on device.  Returns (sampled tokens
+    (B, n_steps), ring)."""
     toks, ring = _steps_impl(params, ring, tokens, positions, key,
-                             temperature, n_steps, cfg, want_logits=False)
+                             temperature, n_steps, cfg, want_logits=False,
+                             top_k=top_k, top_p=top_p)
     return toks.T, ring
 
 
@@ -609,7 +644,8 @@ def _attend_paged(q, kq8, kqs, vq8, vqs, kp8, kps, vp8, vps, lens,
 def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
                       positions: jax.Array, key: jax.Array,
                       temperature: jax.Array, n_steps: int,
-                      cfg: ServeConfig, want_logits: bool):
+                      cfg: ServeConfig, want_logits: bool,
+                      top_k=None, top_p=None):
     """Chunked decode over the paged pool.
 
     Per-step cost note: the mapped pages are gathered into a contiguous
@@ -674,11 +710,7 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
 
         h = _rms(h, params["final_norm"], mcfg.norm_eps)
         logits = _lm_head(params, h)
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
-        sampled = jax.random.categorical(step_key, scaled,
-                                         axis=-1).astype(jnp.int32)
-        nxt = jnp.where(temperature > 0, sampled, greedy)
+        nxt = sample_tokens(logits, step_key, temperature, top_k, top_p)
         out = logits if want_logits else nxt
         return (nxt, pos + 1, paged), out
 
@@ -693,13 +725,15 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
 def decode_steps_paged(params: Dict, paged: PagedKVCache,
                        tokens: jax.Array, positions: jax.Array,
                        key: jax.Array, temperature: jax.Array,
-                       n_steps: int, cfg: ServeConfig
+                       n_steps: int, cfg: ServeConfig,
+                       top_k=None, top_p=None
                        ) -> Tuple[jax.Array, PagedKVCache]:
     """``n_steps`` decode steps over the paged KV pool (long-context
     twin of :func:`decode_steps`).  Returns (tokens (B, n_steps), pool)."""
     toks, paged = _steps_impl_paged(params, paged, tokens, positions, key,
                                     temperature, n_steps, cfg,
-                                    want_logits=False)
+                                    want_logits=False, top_k=top_k,
+                                    top_p=top_p)
     return toks.T, paged
 
 

@@ -140,6 +140,54 @@ def test_engine_batch_isolation(setup):
     assert solo[0] == paired[0]
 
 
+def test_sample_tokens_topk_topp(rng):
+    """On-device sampling filters: top-k confines draws to the k best,
+    top-k=1 and tiny top-p reduce to greedy, defaults reproduce plain
+    categorical behavior."""
+    from fp8tpu.serve.model import sample_tokens
+    B, V = 4, 64
+    logits = jnp.asarray(rng.standard_normal((B, V)) * 3, jnp.float32)
+    temp = jnp.ones((B,), jnp.float32)
+    greedy = np.asarray(jnp.argmax(logits, -1))
+
+    # top_k=1 == greedy regardless of key
+    t1 = sample_tokens(logits, jax.random.key(0), temp,
+                       jnp.full((B,), 1, jnp.int32), None)
+    np.testing.assert_array_equal(np.asarray(t1), greedy)
+
+    # tiny top_p keeps only the argmax token
+    tp = sample_tokens(logits, jax.random.key(1), temp, None,
+                       jnp.full((B,), 1e-6, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(tp), greedy)
+
+    # top_k=5: every draw lands in the per-row top-5 set
+    top5 = np.asarray(jax.lax.top_k(logits, 5)[1])
+    for i in range(20):
+        t = np.asarray(sample_tokens(logits, jax.random.key(10 + i), temp,
+                                     jnp.full((B,), 5, jnp.int32), None))
+        for b in range(B):
+            assert t[b] in top5[b]
+
+    # temperature 0 forces greedy even with filters active
+    t0 = sample_tokens(logits, jax.random.key(2),
+                       jnp.zeros((B,), jnp.float32),
+                       jnp.full((B,), 5, jnp.int32),
+                       jnp.full((B,), 0.5, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(t0), greedy)
+
+
+def test_engine_topk_sampling(setup):
+    """Engine threads per-request top-k through the chunked decode."""
+    cfg, _, _, scfg, sparams = setup
+    eng = ServingEngine(sparams, scfg, n_slots=2, max_seq=64, seed=3)
+    out = eng.run([Request(uid=0, prompt=[5, 6, 7], max_new_tokens=6,
+                           temperature=1.0, top_k=4),
+                   Request(uid=1, prompt=[8, 9], max_new_tokens=4,
+                           temperature=0.8, top_p=0.9)])
+    assert len(out[0]) == 6 and len(out[1]) == 4
+    assert all(0 <= t < cfg.vocab_size for v in out.values() for t in v)
+
+
 def test_int8_weight_serving(setup):
     """int8 (W8A16) weight payloads: quantizer round-trip and the decode
     path produce logits tracking the bf16-weight twin at least as
