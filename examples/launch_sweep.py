@@ -42,7 +42,8 @@ def evaluate(apply_fn, x, y, batch: int = 64):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="+", default=["tiny"],
-                    choices=["tiny", "resnet18", "resnet50"])
+                    choices=["tiny", "tiny_vgg", "tiny_mobilenet",
+                             "resnet18", "resnet50"])
     ap.add_argument("--dtypes", nargs="+",
                     default=["e4m3", "e3m4", "hybrid", "e5m2"])
     ap.add_argument("--num_samples", type=int, default=128)
@@ -70,7 +71,9 @@ def main():
             qm = fp8tpu.quantize_model(
                 model, variables, (x[:1],), dtype=dtype,
                 calibration_batches=calib,
-                list_exempt_layers=("conv_init", "head"),
+                list_exempt_layers=__import__(
+                    "resnet_ptq").MODEL_EXEMPT.get(
+                    name, ("conv_init", "head")),
             )
             qapply = jax.jit(qm.apply)
             top1 = evaluate(lambda xb: qapply(xb), x, y)

@@ -32,16 +32,29 @@ from fp8tpu.models.resnet import (
 from fp8tpu.utils import MetricLogger, accuracy
 
 
+MODEL_EXEMPT = {
+    "resnet18": RESNET_EXEMPT, "resnet50": RESNET_EXEMPT,
+    "tiny": RESNET_EXEMPT,
+}
+
+
 def get_model(name: str, num_classes: int, norm_mode: str = "bn"):
+    import dataclasses
+    from fp8tpu.models.vision import (MOBILENET_EXEMPT, VGG_EXEMPT,
+                                      tiny_mobilenet, tiny_vgg)
+    if name == "tiny_vgg":
+        MODEL_EXEMPT[name] = VGG_EXEMPT
+        return tiny_vgg(num_classes)
+    if name == "tiny_mobilenet":
+        MODEL_EXEMPT[name] = MOBILENET_EXEMPT
+        return tiny_mobilenet(num_classes)
     cfgs = {
         "resnet18": ResNetConfig(stage_sizes=(2, 2, 2, 2)),
         "resnet50": ResNetConfig(stage_sizes=(3, 4, 6, 3), bottleneck=True),
         "tiny": ResNetConfig(stage_sizes=(1, 1), width=16,
                              small_images=True),
     }
-    cfg = cfgs[name]
-    import dataclasses
-    cfg = dataclasses.replace(cfg, num_classes=num_classes,
+    cfg = dataclasses.replace(cfgs[name], num_classes=num_classes,
                               norm_mode=norm_mode)
     return ResNet(cfg)
 
@@ -54,7 +67,7 @@ def load_data(args):
     # frequency content + noise, so PTQ top-1 deltas are meaningful
     # (pure-noise data would make any accuracy comparison vacuous).
     from fp8tpu.data import pattern_images
-    hw = 32 if args.model == "tiny" else 224
+    hw = 32 if args.model.startswith("tiny") else 224
     n_cls = min(args.num_classes, 8)
     x, y = pattern_images(args.num_samples, size=hw, n_classes=n_cls,
                           seed=0)
@@ -112,7 +125,8 @@ def main():
         qm = fp8tpu.quantize_model(
             model, variables, (x[:2],), dtype=dtype, fuse_bn=True,
             inference_model=infer_model, calibration_batches=calib,
-            list_exempt_layers=RESNET_EXEMPT)
+            list_exempt_layers=MODEL_EXEMPT.get(args.model,
+                                                RESNET_EXEMPT))
         q_apply = jax.jit(lambda v, xb: qm.model.apply(v, xb))
 
         # Activation casts via the policy interceptor:

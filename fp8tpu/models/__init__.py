@@ -1,7 +1,20 @@
-"""Model families: MLP, ResNet (PTQ/QAT workloads), decoder transformer
-(flagship serving/training workload), BERT-style encoder."""
+"""Model families: MLP, ResNet/VGG/MobileNet (PTQ/QAT workloads),
+decoder transformer (flagship serving/training workload), BERT-style
+encoder."""
 
 from .mlp import MLP  # noqa: F401
+from .vision import (  # noqa: F401
+    MOBILENET_EXEMPT,
+    VGG_EXEMPT,
+    MobileNet,
+    MobileNetConfig,
+    VGG,
+    VGGConfig,
+    mobilenet,
+    tiny_mobilenet,
+    tiny_vgg,
+    vgg11,
+)
 from .resnet import (  # noqa: F401
     RESNET_EXEMPT,
     RESNET_OUTPUT_FUSED,
