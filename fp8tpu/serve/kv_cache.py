@@ -1,4 +1,4 @@
-"""FP8 KV cache (contiguous slots + paged variant).
+"""Quantized KV cache (ring, contiguous-slot, and paged variants; fp8/int8/bf16 payloads).
 
 The TPU-native extension of the reference's block-norm casting (its only
 "block" concept, fpemu_impl.cpp:778-815) to serving: keys/values are
