@@ -179,6 +179,8 @@ class ServingEngine:
                 continue
             req = self.queue[0]
             prompt = req.prompt[-(self.max_seq - req.max_new_tokens - 1):]
+            if not prompt:
+                prompt = [0]     # empty prompt: decode from a BOS-like 0
             if self.use_paged:
                 # Map enough pages for prompt + generation budget up front;
                 # stay queued if the pool can't satisfy it yet.

@@ -209,15 +209,14 @@ class PagedKVCache:
     pool capacity, and pages are reclaimed on retirement — vLLM-style
     memory management, TPU-shaped (static shapes, gather by page id).
 
-    Per-step cost vs the ring: decode attention gathers the mapped pages
-    into a contiguous view before the attention einsums — an extra
-    materialization (and relayout) of the live KV bytes every step.
-    Measured at 1B-class shapes the ring decodes ~3.3x faster
-    (tools/bench_paged.py; PERF_EXTRAS.json "paged").  The premium buys
-    context beyond the ring window and page-granular memory reclamation;
-    use the ring for throughput serving and pages for long-context.  A
-    Pallas paged-attention kernel with per-page DMA would close most of
-    the gap and is future work.
+    Cost vs the ring: decode gathers the mapped pages into a contiguous
+    snapshot ONCE PER CHUNK (the chunk's own tokens live in a small
+    re-read side buffer — serve/model._steps_impl_paged), so the
+    full-KV re-materialization amortizes across the chunk.  Measured at
+    1B-class shapes the ring decodes ~1.27x faster (was 3.3x with a
+    per-step gather; tools/bench_paged.py, PERF_EXTRAS.json "paged").
+    The remaining premium buys context beyond the ring window and
+    page-granular memory reclamation.
 
     Layouts keep the flattened (page_size*KV) axis second-minor so fp8's
     (32, 128) tile never pads (NOTES.md):

@@ -587,20 +587,26 @@ def prefill(params: Dict, ring: RingKVCache, tokens: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _attend_paged(q, kq8, kqs, vq8, vqs, kp8, kps, vp8, vps, lens,
-                  page_size: int, cfg: DecoderConfig):
-    """Decode attention over gathered pages + the fresh token.
+                  page_size: int, cfg: DecoderConfig,
+                  sk8=None, sks=None, sv8=None, svs=None, w=None):
+    """Decode attention over a (chunk-frozen) page snapshot, the chunk's
+    own tokens in a small side buffer, and the fresh token.
 
     q: (B,H,D); fresh kq8/vq8 (B,KV,D) with scales (B,KV);
-    gathered kp8/vp8: (B, MP, page*KV, D) with scales (B, MP, page*KV);
-    lens: (B,) tokens already stored (the fresh one is separate).
-    Token (m, p) of slot b is valid iff m*page + p < lens[b] — pages are
-    logically ordered, so no ring aging.
+    snapshot kp8/vp8: (B, MP, page*KV, D) with scales (B, MP, page*KV);
+    lens: (B,) tokens in the snapshot (positions < lens are valid —
+    pages are logically ordered, no ring aging);
+    side sk8/sv8: (W, B*KV, D) chunk-token payloads with scales (W, B*KV),
+    rows j < ``w`` valid.  The side buffer is re-READ every step because
+    every step has a new query — unlike softmax partials, per-token K/V
+    are query-independent, so this is exact.
     """
     B, H, D = q.shape
     KV = kq8.shape[1]
     G = H // KV
     MP = kp8.shape[1]
     S = MP * page_size
+    BK = B * KV
     qg = (q.astype(jnp.float32)
           / jnp.sqrt(D).astype(jnp.float32)).astype(q.dtype)
     qh = qg.reshape(B, KV, G, D)
@@ -625,7 +631,20 @@ def _attend_paged(q, kq8, kqs, vq8, vqs, kp8, kps, vp8, vps, lens,
         preferred_element_type=jnp.float32,
     ) * kqs[:, :, None]
 
-    m = jnp.maximum(jnp.max(scores, axis=-1), score_self)
+    if sk8 is not None:
+        W = sk8.shape[0]
+        qf = qh.reshape(BK, G, D)
+        sscores = jnp.einsum(
+            "xgd,sxd->xgs", qf, sk8.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, KV, G, W) * sks.T.reshape(B, KV, 1, W)
+        sscores = jnp.where((jnp.arange(W) < w)[None, None, None],
+                            sscores, _NEG)
+        m = jnp.maximum(jnp.maximum(jnp.max(scores, axis=-1),
+                                    jnp.max(sscores, axis=-1)), score_self)
+    else:
+        m = jnp.maximum(jnp.max(scores, axis=-1), score_self)
+
     pc = jnp.exp(scores - m[..., None])
     ps = jnp.exp(score_self - m)
     l = pc.sum(-1) + ps
@@ -637,6 +656,16 @@ def _attend_paged(q, kq8, kqs, vq8, vqs, kp8, kps, vp8, vps, lens,
         preferred_element_type=jnp.float32)
     ctx = ctx + ((ps * vqs[:, :, None])[..., None]
                  * vq8.astype(jnp.float32)[:, :, None, :])
+
+    if sk8 is not None:
+        spc = jnp.exp(sscores - m[..., None])
+        l = l + spc.sum(-1)
+        spcs = (spc * svs.T.reshape(B, KV, 1, W)).astype(q.dtype)
+        sctx = jnp.einsum(
+            "xgs,sxd->xgd", spcs.reshape(BK, G, W), sv8.astype(q.dtype),
+            preferred_element_type=jnp.float32).reshape(B, KV, G, D)
+        ctx = ctx + sctx
+
     ctx = ctx / l[..., None]
     return ctx.reshape(B, H * D).astype(q.dtype)
 
@@ -646,23 +675,37 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
                       temperature: jax.Array, n_steps: int,
                       cfg: ServeConfig, want_logits: bool,
                       top_k=None, top_p=None):
-    """Chunked decode over the paged pool.
+    """Chunked decode over the paged pool with a chunk-frozen snapshot.
 
-    Per-step cost note: the mapped pages are gathered into a contiguous
-    (B, MP, ...) view every step before the attention einsums — one extra
-    write+read of the live KV bytes vs the ring path (PagedKVCache
-    docstring).  The ring remains the throughput path; this one lifts the
-    context ceiling to the page pool size.
+    The mapped pages are gathered into a contiguous (B, MP, ...) view
+    ONCE per chunk; each step attends over that snapshot plus a small
+    side buffer holding the chunk\'s own fresh tokens (re-read and
+    re-scored against each step\'s new query — exact, unlike carrying
+    softmax partials across queries).  Fresh tokens are still scattered
+    into the pool every step, so the pool is current for the next
+    chunk\'s snapshot.  This amortizes the gather\'s full-KV
+    re-materialization from every step to once per chunk (the cost that
+    made the naive paged decode ~3.3x slower than the ring).
     """
     mcfg = cfg.model
     H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
     B = tokens.shape[0]
+    BK = B * KV
+    L = mcfg.n_layers
     linear = _make_linear(cfg)
     inv_freq = rope_freqs(mcfg)
     page = paged.page_size
+    W = n_steps
 
-    def one(carry, step_key):
-        toks, pos, paged = carry
+    # chunk-frozen snapshot of the mapped pages
+    kv_pages, sc_pages = paged.gather()
+    # side buffer for the chunk\'s own tokens: (W, 2, L, BK, D)
+    side8 = jnp.zeros((W, 2, L, BK, D), paged.pool.dtype)
+    side_sc = jnp.ones((W, 2, L, BK), jnp.float32)
+
+    def one(carry, step_in):
+        w, step_key = step_in
+        toks, pos, paged, side8, side_sc = carry
         h = _embed_lookup(params, toks)
 
         ang = pos[:, None].astype(jnp.float32) * inv_freq
@@ -674,8 +717,7 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
             return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
                                    axis=-1).astype(x.dtype)
 
-        lens = jnp.minimum(pos, paged.max_seq)
-        kv_pages, sc_pages = paged.gather()
+        lens0 = jnp.minimum(pos - w, paged.max_seq)   # snapshot coverage
 
         def layer_step(lcarry, xs):
             h, li = lcarry
@@ -695,7 +737,9 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
                 q, kq8, kqs[..., 0], vq8, vqs[..., 0],
                 kv_pages[:, :, 0, li], sc_pages[:, :, 0, li],
                 kv_pages[:, :, 1, li], sc_pages[:, :, 1, li],
-                lens, page, mcfg)
+                lens0, page, mcfg,
+                sk8=side8[:, 0, li], sks=side_sc[:, 0, li],
+                sv8=side8[:, 1, li], svs=side_sc[:, 1, li], w=w)
             h = h + linear(ctx, o8, osw)
 
             x = _rms(h, mlp_norm, mcfg.norm_eps)
@@ -707,16 +751,26 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
         (h, _), (fk8, fks, fv8, fvs) = jax.lax.scan(
             layer_step, (h, jnp.int32(0)), _layer_xs(params))
         paged = paged.write_step(fk8, fks, fv8, fvs, pos)
+        z = jnp.zeros((), jnp.int32)
+        slab8 = jnp.stack([fk8.reshape(L, BK, D),
+                           fv8.reshape(L, BK, D)])[None]
+        slabs = jnp.stack([fks.reshape(L, BK),
+                           fvs.reshape(L, BK)])[None]
+        side8 = jax.lax.dynamic_update_slice(
+            side8, slab8.astype(side8.dtype), (w, z, z, z, z))
+        side_sc = jax.lax.dynamic_update_slice(side_sc, slabs,
+                                               (w, z, z, z))
 
         h = _rms(h, params["final_norm"], mcfg.norm_eps)
         logits = _lm_head(params, h)
         nxt = sample_tokens(logits, step_key, temperature, top_k, top_p)
         out = logits if want_logits else nxt
-        return (nxt, pos + 1, paged), out
+        return (nxt, pos + 1, paged, side8, side_sc), out
 
     keys = jax.random.split(key, n_steps)
-    (_, _, paged), outs = jax.lax.scan(one, (tokens, positions, paged),
-                                       keys)
+    steps = jnp.arange(n_steps, dtype=jnp.int32)
+    (_, _, paged, _, _), outs = jax.lax.scan(
+        one, (tokens, positions, paged, side8, side_sc), (steps, keys))
     return outs, paged
 
 

@@ -132,6 +132,8 @@ def lm_gates(steps, batch, lr, results):
     ckpt_dir = os.path.join(os.path.dirname(__file__), "..",
                             ".cache_accuracy")
     from fp8tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+    # NOTE: the cache key is the step count only — delete .cache_accuracy
+    # after changing the model config, corpus, or training recipe.
     reuse = os.environ.get("ACC_REUSE") == "1"
     trained = None
     if reuse:

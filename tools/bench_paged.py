@@ -70,7 +70,7 @@ paged_tok = measure(decode_steps_paged, paged)
 ratio = ring_tok / paged_tok
 print(f"ring:  {ring_tok:.0f} tok/s")
 print(f"paged: {paged_tok:.0f} tok/s  (ring is {ratio:.2f}x faster; the "
-      f"paged gather re-materializes the live KV bytes each step)")
+      f"paged path gathers its snapshot once per chunk)")
 
 prev = {}
 if os.path.exists(OUT):
