@@ -5,8 +5,9 @@ Trains a small decoder to convergence on a structured corpus (order-2
 Markov + induction, entropy floor known), then measures:
 
   1. ΔPPL of every PTQ emulation policy vs the fp32 model   (gate ≤ 0.1)
-  2. ΔPPL of the real-quantized SERVING artifact (fp8 weights + fp8 KV,
-     int4 weights)                                          (gate ≤ 0.1)
+  2. ΔPPL of the real-quantized SERVING artifact (fp8/int8/int4
+     weights × fp8/int8/bf16 KV), gated against the bf16 serving twin
+     that shares its compute precision                      (gate ≤ 0.1)
   3. FP8 mixed-precision TRAINING convergence parity: same budget,
      hybrid/direct recipes vs bf16 training                 (gap ≤ 0.1)
   4. Conv/QAT gate: tiny conv net on pattern images, fp32 vs e4m3 QAT
