@@ -26,7 +26,8 @@ import numpy as np
 import fp8tpu
 from fp8tpu.utils import accuracy
 
-from resnet_ptq import get_model, load_data  # reuse the PTQ recipe pieces
+from resnet_ptq import (MODEL_EXEMPT, get_model,  # noqa: E501  reuse the PTQ recipe
+                        load_data)
 
 
 def evaluate(apply_fn, x, y, batch: int = 64):
@@ -71,8 +72,7 @@ def main():
             qm = fp8tpu.quantize_model(
                 model, variables, (x[:1],), dtype=dtype,
                 calibration_batches=calib,
-                list_exempt_layers=__import__(
-                    "resnet_ptq").MODEL_EXEMPT.get(
+                list_exempt_layers=MODEL_EXEMPT.get(
                     name, ("conv_init", "head")),
             )
             qapply = jax.jit(qm.apply)
