@@ -81,6 +81,12 @@ class ServingEngine:
                 m.n_kv_heads, m.head_dim, cfg.kv_fmt)
             self.free_pages: List[int] = list(range(n_pages))
             self._slot_pages: List[List[int]] = [[] for _ in range(n_slots)]
+            # page table lives host-side; one small transfer per dispatch
+            # (a device .at[] per admission/retirement costs a full
+            # host<->device round trip each — measured ~2.5x engine
+            # slowdown on the tunneled chip)
+            self._table = np.asarray(self.cache.page_table).copy()
+            self._table_dirty = False
         else:
             self.cache = RingKVCache.create(m.n_layers, n_slots,
                                             self.max_seq, m.n_kv_heads,
@@ -131,7 +137,15 @@ class ServingEngine:
         if self.use_paged:
             self.free_pages.extend(self._slot_pages[i])
             self._slot_pages[i] = []
-            self.cache = self.cache.free_slot(jnp.int32(i))
+            self._table[i] = -1
+            self._table_dirty = True
+
+    def _sync_table(self):
+        if self.use_paged and self._table_dirty:
+            import dataclasses as _dc
+            self.cache = _dc.replace(self.cache,
+                                     page_table=jnp.asarray(self._table))
+            self._table_dirty = False
 
     def step(self):
         self._admit()
@@ -151,6 +165,7 @@ class ServingEngine:
         top_k = jnp.asarray(tks, jnp.int32) if filtering else None
         top_p = jnp.asarray(tps, jnp.float32) if filtering else None
         self.key, sub = jax.random.split(self.key)
+        self._sync_table()
         decode = decode_steps_paged if self.use_paged else decode_steps
         toks, self.cache = decode(
             self.params, self.cache, jnp.asarray(self._tokens),
@@ -192,12 +207,14 @@ class ServingEngine:
                     continue
                 pages = [self.free_pages.pop() for _ in range(need)]
                 self._slot_pages[i] = pages
-                self.cache = self.cache.assign_pages(
-                    i, jnp.arange(need), jnp.asarray(pages, jnp.int32))
+                self._table[i] = -1
+                self._table[i, :need] = pages
+                self._table_dirty = True
             self.queue.pop(0)
             bucket = min(_bucket(len(prompt)), self.max_seq)
             padded = np.zeros((bucket,), np.int32)
             padded[:len(prompt)] = prompt
+            self._sync_table()
             do_prefill = prefill_paged if self.use_paged else prefill
             logits, self.cache = do_prefill(
                 self.params, self.cache, jnp.asarray(padded),
