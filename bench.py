@@ -47,20 +47,15 @@ STEPS = 256
 WARM_POS = 444      # decode at near-full context from the first step
 
 
-def make_params(fmt: str):
-    """Random-initialized serving params built directly in the target
-    dtype (weights stream from HBM the same regardless of values; a 3B
-    f32 init would not fit HBM next to the bf16 variant)."""
-    embed_fmt = {"bf16": "bf16", "int4": "e4m3"}.get(fmt, fmt)
-    return random_serve_params(CFG, fmt, embed_fmt=embed_fmt)
-
-
-def bench_variant(fmt: str, kv_fmt: str) -> float:
-    scfg = ServeConfig(model=CFG, weight_fmt=fmt, kv_fmt=kv_fmt,
-                       embed_fmt=fmt)
-    params = make_params(fmt)
-    cache = RingKVCache.create(CFG.n_layers, BATCH, CACHE_LEN,
-                               CFG.n_kv_heads, CFG.head_dim, kv_fmt)
+def bench_variant(fmt: str, kv_fmt: str, cfg: DecoderConfig = CFG,
+                  steps: int = STEPS) -> float:
+    scfg = ServeConfig(model=cfg, weight_fmt=fmt, kv_fmt=kv_fmt,
+                       embed_fmt={"bf16": "bf16",
+                                  "int4": "e4m3"}.get(fmt, fmt))
+    params = random_serve_params(cfg, fmt,
+                                 embed_fmt=scfg.embed_fmt)
+    cache = RingKVCache.create(cfg.n_layers, BATCH, CACHE_LEN,
+                               cfg.n_kv_heads, cfg.head_dim, kv_fmt)
     tokens = jnp.ones((BATCH,), jnp.int32)
     # Warm context: slots behave as if WARM_POS tokens were already
     # decoded (ring rows behind the head are masked valid).
@@ -70,10 +65,10 @@ def bench_variant(fmt: str, kv_fmt: str) -> float:
     key = jax.random.key(0)
 
     def run_chunk(cache):
-        # The serving engine's chunked decode: STEPS steps + on-device
-        # sampling in one compiled program.
+        # The serving engine's chunked decode: ``steps`` steps +
+        # on-device sampling in one compiled program.
         return decode_steps(params, cache, tokens, pos0, key, temp,
-                            STEPS, scfg)
+                            steps, scfg)
 
     # Warmup (compile + first execution); the cache is donated, so keep
     # chaining the returned one.
@@ -97,9 +92,35 @@ def bench_variant(fmt: str, kv_fmt: str) -> float:
         np.asarray(toks).sum()        # one sync closes the window
         best = min(best, time.perf_counter() - t0)
 
-    tok_s = BATCH * STEPS * DEPTH / best
+    tok_s = BATCH * steps * DEPTH / best
     del params, cache
     return tok_s
+
+
+# 7B-class config (BASELINE.json configs[3] names 7B-class decoding):
+# 32 layers x d4096/ff12288, GQA 32q/8kv, 32k vocab ≈ 6.4B params.
+# fp8 weights ≈ 6.4 GB + int8 KV (B=64, S=512) ≈ 2.1 GB — fits the 16 GB
+# chip; the bf16 twin (12.9 GB weights) does NOT fit next to its KV at
+# this batch, so the bf16 reference step time is measured on a
+# half-depth (16-layer) twin and doubled (decode is weight-streaming-
+# bound; doubling over-counts the fixed per-step costs, making the
+# reported fp8-vs-bf16 ratio an UNDER-estimate).
+CFG7B = DecoderConfig(vocab_size=32768, d_model=4096, n_layers=32,
+                      n_heads=32, n_kv_heads=8, d_ff=12288,
+                      max_seq_len=1024)
+
+
+def bench_7b():
+    fp8 = bench_variant("e4m3", "int8", cfg=CFG7B, steps=128)
+    half = dataclasses.replace(CFG7B, n_layers=CFG7B.n_layers // 2)
+    bf16_half = bench_variant("bf16", "bf16", cfg=half, steps=128)
+    bf16_est = bf16_half / 2.0      # 2x the bytes → ~2x the step time
+    return {
+        "params_b": 6.4,
+        "fp8_kvint8_tok_s": round(fp8, 1),
+        "bf16_tok_s_est_half_depth_x2": round(bf16_est, 1),
+        "fp8_vs_bf16_est": round(fp8 / bf16_est, 3),
+    }
 
 
 def _extras():
@@ -132,7 +153,18 @@ def main():
         "value": round(fp8, 1),
         "unit": "tokens/s",
         "vs_baseline": round(fp8 / bf16, 3),
+        # exact headline configuration (ADVICE r2: the label alone
+        # undersells that the KV payload is int8 — same bytes as fp8,
+        # measured faster AND tighter on v5e; the all-fp8 variant is in
+        # extras.perf.decode.decode_e4m3_kve4m3_tok_s)
+        "config": "e4m3 weights + int8 KV (per-vector scales), bf16 compute",
     }
+    if os.environ.get("BENCH_SKIP_7B") != "1":
+        # BASELINE.json configs[3] names 7B-class decoding: record the
+        # absolute fp8 number at that scale (the bf16 ratio there is a
+        # documented half-depth-twin estimate; the measured 3B pair above
+        # stays the headline ratio because both twins fit HBM).
+        line["7b"] = bench_7b()
     extras = _extras()
     if extras:
         line["extras"] = extras

@@ -28,7 +28,7 @@ from fp8tpu.models import (
     BertForQA,
     tiny_bert,
 )
-from fp8tpu.training import make_train_step
+from fp8tpu.training import init_train_state, make_train_step
 from fp8tpu.utils import MetricLogger
 from fp8tpu.utils.metrics import beam_search_spans, squad_em_f1
 
@@ -86,7 +86,7 @@ def main():
                     e_logits, ends).mean()) / 2
 
     step = jax.jit(make_train_step(emulator, optimizer, loss_fn))
-    opt_state = optimizer.init(variables)
+    opt_state = init_train_state(optimizer, variables)
     log = MetricLogger()
     for i in range(args.steps):
         k = jax.random.fold_in(key, i)

@@ -24,7 +24,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 import fp8tpu
 from fp8tpu.models import Decoder, DecoderConfig
 from fp8tpu.parallel import DECODER_PARAM_RULES, make_mesh, shard_params
-from fp8tpu.training import make_train_step
+from fp8tpu.training import init_train_state, make_train_step
 from fp8tpu.utils import MetricLogger, save_checkpoint, restore_checkpoint
 
 
@@ -76,7 +76,7 @@ def main():
     # Shard over whatever devices exist (dp × tp).
     mesh = make_mesh(data=args.data_parallel, model=args.model_parallel)
     variables = shard_params(variables, mesh, DECODER_PARAM_RULES)
-    opt_state = optimizer.init(variables)
+    opt_state = init_train_state(optimizer, variables)
     batch_sh = NamedSharding(mesh, P("data", None))
 
     start_step = 0

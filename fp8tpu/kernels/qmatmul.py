@@ -166,8 +166,35 @@ def dequant_matmul(
 # Emulation-parity: fused fake-quant matmul
 # ---------------------------------------------------------------------------
 
+# Formats whose native convert Mosaic can legalize on v5e (float16 cannot:
+# no f32↔f16 converts in Mosaic — numerics/cast.py f32_to_f16_bits).
+_HW_KERNEL_FMTS = ("e4m3", "e5m2", "bfloat16")
+
+
+def _hw_xla_ok(fmt_x, fmt_w) -> bool:
+    """The impl="hw" production route runs OUTSIDE Pallas when both
+    operands quantize to a mant_bits<=7 format: their SCALED grid values
+    are exactly representable in bf16, so the whole computation is a
+    full-rate bf16 MXU dot with the casts fused by XLA into the operand
+    reads and the 1/(sx*sw) descale in the epilogue.  (The fused Pallas
+    formulation was measured SLOWER here: with a (i,j,k) matmul grid
+    each x tile is re-cast once per j and each w tile once per i — ~16x
+    redundant cast work at 4096³ — while XLA casts each element once
+    inside the dot fusion.  MFU 0.065 fused vs ~0.25 XLA, NOTES r3.)
+
+    An unquantized operand has full f32 mantissas, so mixed cases keep
+    the f32 HIGHEST contraction (in-kernel), and float16's grid does not
+    fit bf16."""
+    return (fmt_x is not None and fmt_w is not None
+            and FORMATS[fmt_x].mant_bits <= 7
+            and FORMATS[fmt_w].mant_bits <= 7)
+
+
 def _qdq_matmul_kernel(seed_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref,
-                       acc_ref, *, nk, fmt_x, mode_x, fmt_w, mode_w):
+                       acc_ref, *, nk, fmt_x, mode_x, fmt_w, mode_w,
+                       impl):
+    from fp8tpu.numerics.cast import hw_qdq, hw_sr
+
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -185,13 +212,17 @@ def _qdq_matmul_kernel(seed_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref,
     def _q(v, fmt, mode, scale):
         if fmt is None:
             return v
+        v = v.astype(jnp.float32)
+        rb = None
         if mode == RoundMode.STOCHASTIC:
             rb = pltpu.bitcast(
                 pltpu.prng_random_bits(v.shape), jnp.uint32
             ).astype(jnp.uint16)
-        else:
-            rb = None
-        return cast_array(v.astype(jnp.float32), scale, rb, fmt, mode)
+        if impl == "hw" and fmt in _HW_KERNEL_FMTS:
+            if mode == RoundMode.STOCHASTIC:
+                return hw_sr(v, fmt, scale, rb)
+            return hw_qdq(v, fmt, scale)
+        return cast_array(v, scale, rb, fmt, mode)
 
     xq = _q(x_ref[:], fmt_x, mode_x, sx_ref[0])
     # Weight scale is per output channel: broadcast (1, tn) over (tk, tn).
@@ -210,10 +241,10 @@ def _qdq_matmul_kernel(seed_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("fmt_x", "mode_x", "fmt_w", "mode_w", "tm", "tn", "tk",
-                     "out_dtype", "interpret"),
+                     "out_dtype", "interpret", "impl"),
 )
 def _qdq_matmul(x, w, sx, sw, seed, fmt_x, mode_x, fmt_w, mode_w,
-                tm, tn, tk, out_dtype, interpret):
+                tm, tn, tk, out_dtype, interpret, impl="bitexact"):
     m, k = x.shape
     k2, n = w.shape
     assert k == k2
@@ -226,7 +257,8 @@ def _qdq_matmul(x, w, sx, sw, seed, fmt_x, mode_x, fmt_w, mode_w,
     grid = (mp // tm, np_ // tn, kp // tk)
     out = pl.pallas_call(
         functools.partial(_qdq_matmul_kernel, nk=grid[2], fmt_x=fmt_x,
-                          mode_x=mode_x, fmt_w=fmt_w, mode_w=mode_w),
+                          mode_x=mode_x, fmt_w=fmt_w, mode_w=mode_w,
+                          impl=impl),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
@@ -265,12 +297,22 @@ def qdq_matmul(
     tn: int = 256,
     tk: int = 512,
     interpret: bool = False,
+    impl: str = "bitexact",
 ) -> jax.Array:
     """Fused fake-quant matmul: ``qdq(x) @ qdq(w)`` with both casts done
-    in-register per tile.  Numerics match quantizing the whole operands
-    with the jnp path and then matmul at float32 precision — scales are
-    whole-tensor quantities passed in (``scale_w`` may be per-output-
-    channel, shape (N,)), so tiling does not change results.
+    in-register per tile.  Scales are whole-tensor quantities passed in
+    (``scale_w`` may be per-output-channel, shape (N,)), so tiling does
+    not change results.
+
+    ``impl``: "bitexact" runs the reference-parity bit pipeline per tile;
+    "hw" uses the native convert (clip + f32→fp8 round trip for RNE, the
+    f32-domain bit trick for SR — quant.fakequant's cast_impl="hw"
+    semantics) where a hardware dtype exists, falling back to the bit
+    pipeline per operand otherwise.  When BOTH operands quantize to a
+    mant<=7 format the contraction runs as a full-rate bf16 MXU dot over
+    the exactly-representable scaled grid values, with the 1/(sx*sw)
+    descale in the epilogue — this is what moves the kernel from f32
+    (multi-pass) MXU throughput to bf16 throughput.
 
     ``fmt_x``/``fmt_w`` of None skips quantization of that operand.
     """
@@ -280,6 +322,13 @@ def qdq_matmul(
     sw = jnp.asarray(scale_w, jnp.float32) * jnp.ones((w.shape[1],),
                                                       jnp.float32)
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    if impl == "hw" and _hw_xla_ok(fmt_x, fmt_w):
+        # Production engine route: XLA fuses the casts into the bf16 dot
+        # operand reads (each element cast exactly once) — see
+        # _hw_xla_ok.  Backend-independent (no Pallas), so interpret mode
+        # takes the same path.
+        return _qdq_matmul_hw_xla(x, w, sx, sw, seed_arr, fmt_x, mode_x,
+                                  fmt_w, mode_w, out_dtype)
     stochastic = RoundMode.STOCHASTIC in (mode_x, mode_w)
     if interpret and stochastic:
         # Interpret mode (CPU CI) lacks the TPU PRNG primitives; run the
@@ -287,16 +336,55 @@ def qdq_matmul(
         # f32 accumulate; the SR random stream differs from the on-chip
         # per-tile stream — both unbiased).
         return _qdq_matmul_jnp(x, w, sx, sw, seed_arr, fmt_x, mode_x,
-                               fmt_w, mode_w, out_dtype)
+                               fmt_w, mode_w, out_dtype, impl)
     return _qdq_matmul(x, w, sx, sw, seed_arr, fmt_x, mode_x, fmt_w, mode_w,
-                       tm, tn, tk, out_dtype, interpret)
+                       tm, tn, tk, out_dtype, interpret, impl)
 
 
 @functools.partial(
     jax.jit, static_argnames=("fmt_x", "mode_x", "fmt_w", "mode_w",
                               "out_dtype"))
+def _qdq_matmul_hw_xla(x, w, sx, sw, seed, fmt_x, mode_x, fmt_w, mode_w,
+                       out_dtype):
+    """impl="hw" fast route: cast each operand ONCE onto its scaled grid
+    (exact in bf16 for mant<=7 formats), contract at full bf16 MXU rate
+    with f32 accumulation, descale in the epilogue.  The casts fuse into
+    the dot's operand reads (XLA), so no quantized copy hits HBM."""
+    from fp8tpu.numerics.cast import hw_qdq, hw_sr, sr_bits
+
+    key = jax.random.fold_in(jax.random.key(0), seed[0])
+
+    def _g(v, fmt, mode, scale, tag):
+        v = v.astype(jnp.float32)
+        rb = None
+        if mode == RoundMode.STOCHASTIC:
+            rb = sr_bits(jax.random.fold_in(key, tag), v.shape)
+        if fmt in _HW_KERNEL_FMTS:
+            if mode == RoundMode.STOCHASTIC:
+                g = hw_sr(v, fmt, scale, rb, descale=False)
+            else:
+                g = hw_qdq(v, fmt, scale, descale=False)
+        else:
+            # e3m4/fp4: no hardware dtype — bit pipeline, then rescale
+            # back onto the grid (the bf16 cast snaps the O(2^-23)
+            # descale/rescale noise onto the exact grid value).
+            g = cast_array(v, scale, rb, fmt, mode) * scale
+        return g.astype(jnp.bfloat16)
+
+    xg = _g(x, fmt_x, mode_x, sx[0], 1)
+    wg = _g(w, fmt_w, mode_w, sw.reshape(1, -1), 2)
+    out = jax.lax.dot_general(xg, wg, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return (out / (sx[0] * sw.reshape(1, -1))).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fmt_x", "mode_x", "fmt_w", "mode_w",
+                              "out_dtype", "impl"))
 def _qdq_matmul_jnp(x, w, sx, sw, seed, fmt_x, mode_x, fmt_w, mode_w,
-                    out_dtype):
+                    out_dtype, impl="bitexact"):
+    from fp8tpu.numerics.cast import hw_qdq, hw_sr, sr_bits
+
     key = jax.random.fold_in(jax.random.key(0), seed[0])
 
     def _q(v, fmt, mode, scale, tag):
@@ -304,8 +392,11 @@ def _qdq_matmul_jnp(x, w, sx, sw, seed, fmt_x, mode_x, fmt_w, mode_w,
             return v.astype(jnp.float32)
         rb = None
         if mode == RoundMode.STOCHASTIC:
-            rb = jax.random.bits(jax.random.fold_in(key, tag), v.shape,
-                                 jnp.uint16)
+            rb = sr_bits(jax.random.fold_in(key, tag), v.shape)
+        if impl == "hw" and fmt in _HW_KERNEL_FMTS:
+            if mode == RoundMode.STOCHASTIC:
+                return hw_sr(v.astype(jnp.float32), fmt, scale, rb)
+            return hw_qdq(v.astype(jnp.float32), fmt, scale)
         return cast_array(v.astype(jnp.float32), scale, rb, fmt, mode)
 
     xq = _q(x, fmt_x, mode_x, sx[0], 1)

@@ -279,6 +279,105 @@ def _cast_fp4(x, scale):
     return out * inv
 
 
+# -- hardware-convert fast path (cast_impl="hw") ----------------------------
+# Spec-exact single-rounding casts through the hardware dtype where one
+# exists.  These are the production compute path (training presets default
+# to cast_impl="hw"); the bit pipeline above stays the reference-parity
+# option.  Shared by quant.fakequant (jax.random bits) and the Pallas
+# qdq_matmul kernel (pltpu.prng_random_bits) — both traceable in-kernel.
+
+HW_DTYPES = {"e4m3": jnp.float8_e4m3fn, "e5m2": jnp.float8_e5m2,
+             "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+
+
+def hw_qdq(x, fmt_name: str, scale, descale: bool = True):
+    """RNE fake-quant via the native convert: clip (for saturating
+    formats) + one f32→dtype→f32 round trip.  With ``descale=False``
+    returns the SCALED grid values (exactly representable in bf16 for
+    every mant_bits<=7 format — the fused matmul path contracts those on
+    the MXU and applies 1/scale in the epilogue)."""
+    fmt = FORMATS[fmt_name]
+    xf = x.astype(jnp.float32) * scale
+    if not fmt.has_inf:          # e4m3: saturate instead of NaN overflow
+        xf = jnp.clip(xf, -fmt.max_normal, fmt.max_normal)
+    y = xf.astype(HW_DTYPES[fmt_name]).astype(jnp.float32)
+    return y / scale if descale else y
+
+
+def hw_sr(x, fmt_name: str, scale, rb, descale: bool = True):
+    """f32-domain stochastic rounding onto the target float grid.
+
+    ``rb``: uint16-valued random bits of ``x.shape`` (any provider:
+    jax.random or the in-kernel TPU PRNG).  Normal range: classic
+    add-random-bits-below-the-cut-then-truncate on the f32 bit pattern
+    (cut = 23 - m, always within the mantissa field).  Subnormal range:
+    the target grid is FIXED-point (k * 2^(emin-m)), so the bit trick
+    would reach into the exponent field; instead floor(|x|/g + u) * g
+    with u ~ U[0,1) — exact unbiased SR on the subnormal grid, valid
+    down to zero (no flush).  ~25 ops vs ~100 for the via-fp16 reference
+    pipeline; the random stream differs from the reference's (16 uniform
+    bits vs its 8 f16-domain GRS bits) — both unbiased.
+
+    bf16/f16 note: inputs below the f32 normal range are flushed to zero
+    by XLA's DAZ+FTZ f32 arithmetic on both CPU and TPU backends (same as
+    real bf16 hardware); the guarantee here is no NaN and no saturation
+    for such inputs (ADVICE r1 regression).
+    """
+    fmt = FORMATS[fmt_name]
+    m = fmt.mant_bits
+    emin = 1 - fmt.bias
+    xs0 = x.astype(jnp.float32) * scale
+    xs = jnp.clip(xs0, -fmt.max_normal, fmt.max_normal)
+
+    u = jax.lax.bitcast_convert_type(xs, jnp.uint32)
+    sign = u & jnp.uint32(0x80000000)
+    mag = u & jnp.uint32(0x7FFFFFFF)
+    e = (mag >> 23).astype(jnp.int32) - 127
+    rb = rb.astype(jnp.uint32)
+
+    # -- normal-range branch: bit add-truncate, cut is a static int ----
+    cut = 23 - m
+    if cut >= 16:
+        radd = rb << (cut - 16)
+    else:
+        radd = rb >> (16 - cut)
+    mask = jnp.uint32(0xFFFFFFFF) << cut
+    mag_bits = (mag + radd) & mask
+    y_norm = jax.lax.bitcast_convert_type(mag_bits, jnp.float32)
+
+    # -- subnormal-range branch: fixed grid g = 2^(emin - m) -----------
+    shift = m - emin                      # static python int
+    absx = jax.lax.bitcast_convert_type(mag, jnp.float32)
+    # via int32: Mosaic has no uint32->f32 convert (rb values < 2^16)
+    u01 = rb.astype(jnp.int32).astype(jnp.float32) * jnp.float32(2.0 ** -16)
+    if shift > 126:
+        # bfloat16: 2^(m-emin) = 2^133 overflows f32 to inf (0*inf = NaN,
+        # ADVICE r1 — XLA refolds even a split constant product back into
+        # one inf constant), and the whole branch domain |x| < 2^-126 is
+        # f32-subnormal, which XLA's DAZ+FTZ f32 arithmetic flushes on CPU
+        # and TPU alike.  The grid values themselves are f32-subnormal, so
+        # the defined result under flush semantics is exactly zero.
+        y_sub = jnp.zeros_like(absx)
+    else:
+        g = jnp.float32(2.0 ** (emin - m))
+        inv_g = jnp.float32(2.0 ** shift)
+        y_sub = jnp.floor(absx * inv_g + u01) * g
+
+    y = jnp.where(e >= emin, y_norm, y_sub)
+    out = jax.lax.bitcast_convert_type(
+        sign | jax.lax.bitcast_convert_type(y, jnp.uint32), jnp.float32)
+    # SR may round up past the format max: saturate; keep NaN as NaN and,
+    # for formats with an inf encoding (e5m2/bf16/f16), pass ±inf through
+    # instead of saturating (mirrors hw_qdq's overflow semantics).
+    out = jnp.clip(out, -fmt.max_normal, fmt.max_normal)
+    out = jnp.where(jnp.isnan(xs0), xs0, out)
+    if fmt.has_inf:
+        out = jnp.where(jnp.isinf(xs0), xs0, out)
+    if not descale:
+        return out
+    return (out / scale).astype(jnp.float32)
+
+
 def cast_array(x, scale, random_bits, fmt_name: str, mode: RoundMode,
                daz: bool = False):
     """Unjitted cast core: traceable inside jit AND inside Pallas kernel

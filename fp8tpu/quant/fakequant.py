@@ -39,87 +39,19 @@ def _hw_eligible(cfg: TensorQuantConfig) -> bool:
 
 def _sr_hw(x: jax.Array, cfg: TensorQuantConfig, scale,
            key: jax.Array) -> jax.Array:
-    """f32-domain stochastic rounding onto the target float grid.
-
-    Normal range (|x| >= 2^emin): classic add-random-bits-below-the-cut-
-    then-truncate on the f32 bit pattern (cut = 23 - m bits, always
-    within the mantissa field).  Subnormal range: the target grid is
-    FIXED-point (k * 2^(emin-m)), so the bit trick would reach into the
-    exponent field; instead floor(|x|/g + u) * g with u ~ U[0,1) — exact
-    unbiased SR on the subnormal grid, valid down to zero (no flush).
-    ~25 HLO ops vs ~100 for the via-fp16 reference pipeline; the random
-    stream differs from the reference's (16 uniform bits vs its 8
-    f16-domain GRS bits) — both unbiased.
-
-    bf16/f16 note: inputs below the f32 normal range are flushed to zero
-    by XLA's DAZ+FTZ f32 arithmetic on both CPU and TPU backends (same as
-    real bf16 hardware); the guarantee here is no NaN and no saturation
-    for such inputs (ADVICE r1 regression).
-    """
-    from fp8tpu.numerics.cast import sr_bits
-
-    fmt = FORMATS[cfg.dtype]
-    m = fmt.mant_bits
-    emin = 1 - fmt.bias
-    xs0 = x.astype(jnp.float32) * scale
-    xs = jnp.clip(xs0, -fmt.max_normal, fmt.max_normal)
-
-    u = jax.lax.bitcast_convert_type(xs, jnp.uint32)
-    sign = u & jnp.uint32(0x80000000)
-    mag = u & jnp.uint32(0x7FFFFFFF)
-    e = (mag >> 23).astype(jnp.int32) - 127
-    rb = sr_bits(key, x.shape).astype(jnp.uint32)
-
-    # -- normal-range branch: bit add-truncate, cut is a static int ----
-    cut = 23 - m
-    if cut >= 16:
-        radd = rb << (cut - 16)
-    else:
-        radd = rb >> (16 - cut)
-    mask = jnp.uint32(0xFFFFFFFF) << cut
-    mag_bits = (mag + radd) & mask
-    y_norm = jax.lax.bitcast_convert_type(mag_bits, jnp.float32)
-
-    # -- subnormal-range branch: fixed grid g = 2^(emin - m) -----------
-    shift = m - emin                      # static python int
-    absx = jax.lax.bitcast_convert_type(mag, jnp.float32)
-    u01 = rb.astype(jnp.float32) * jnp.float32(2.0 ** -16)
-    if shift > 126:
-        # bfloat16: 2^(m-emin) = 2^133 overflows f32 to inf (0*inf = NaN,
-        # ADVICE r1 — XLA refolds even a split constant product back into
-        # one inf constant), and the whole branch domain |x| < 2^-126 is
-        # f32-subnormal, which XLA's DAZ+FTZ f32 arithmetic flushes on CPU
-        # and TPU alike.  The grid values themselves are f32-subnormal, so
-        # the defined result under flush semantics is exactly zero.
-        y_sub = jnp.zeros_like(absx)
-    else:
-        g = jnp.float32(2.0 ** (emin - m))
-        inv_g = jnp.float32(2.0 ** shift)
-        y_sub = jnp.floor(absx * inv_g + u01) * g
-
-    y = jnp.where(e >= emin, y_norm, y_sub)
-    out = jax.lax.bitcast_convert_type(
-        sign | jax.lax.bitcast_convert_type(y, jnp.uint32), jnp.float32)
-    # SR may round up past the format max: saturate; keep NaN as NaN and,
-    # for formats with an inf encoding (e5m2/bf16/f16), pass ±inf through
-    # instead of saturating (mirrors _qdq_hw's overflow semantics).
-    out = jnp.clip(out, -fmt.max_normal, fmt.max_normal)
-    out = jnp.where(jnp.isnan(xs0), xs0, out)
-    if fmt.has_inf:
-        out = jnp.where(jnp.isinf(xs0), xs0, out)
-    return (out / scale).astype(jnp.float32)
+    """f32-domain stochastic rounding onto the target float grid —
+    counter-based bits + the shared :func:`fp8tpu.numerics.cast.hw_sr`
+    core (also used in-register by the fused qdq_matmul kernel)."""
+    from fp8tpu.numerics.cast import hw_sr, sr_bits
+    return hw_sr(x, cfg.dtype, scale, sr_bits(key, x.shape))
 
 
 def _qdq_hw(x: jax.Array, cfg: TensorQuantConfig, scale) -> jax.Array:
     """Spec-exact single-rounding cast through the hardware dtype (OCP
     fp8 / IEEE semantics; deviates from the reference's denormal-range
     quirks — see TensorQuantConfig.cast_impl)."""
-    dt = _HW_DTYPES[cfg.dtype]
-    xf = x.astype(jnp.float32) * scale
-    fmt = FORMATS[cfg.dtype]
-    if not fmt.has_inf:          # e4m3: saturate instead of NaN overflow
-        xf = jnp.clip(xf, -fmt.max_normal, fmt.max_normal)
-    return (xf.astype(dt).astype(jnp.float32) / scale).astype(jnp.float32)
+    from fp8tpu.numerics.cast import hw_qdq
+    return hw_qdq(x, cfg.dtype, scale).astype(jnp.float32)
 
 
 def _quantize_impl(x: jax.Array, cfg: TensorQuantConfig,

@@ -63,12 +63,21 @@ def patched_matmul(a: jax.Array, b: jax.Array, seed: jax.Array,
     return _forward(a, b, seed, cfg, interpret)
 
 
+def _impl_of(cfg_t: Optional[TensorQuantConfig]) -> str:
+    """The engine kernel honors the role config's cast_impl: training
+    presets default to "hw" (native convert + full-rate bf16 MXU dot);
+    "bitexact" keeps the reference-parity bit pipeline in-kernel."""
+    return "hw" if (cfg_t is not None and cfg_t.cast_impl == "hw") \
+        else "bitexact"
+
+
 def _forward(a, b, seed, cfg, interpret):
     fmt, mode = _fmt_args(cfg.iact)
     out = qdq_matmul(a, b, fmt_x=fmt, mode_x=mode, fmt_w=fmt, mode_w=mode,
                      scale_x=_operand_scale(a, cfg.iact),
                      scale_w=_operand_scale(b, cfg.iact),
-                     seed=seed, out_dtype=jnp.float32, interpret=interpret)
+                     seed=seed, out_dtype=jnp.float32, interpret=interpret,
+                     impl=_impl_of(cfg.iact))
     return out.astype(a.dtype)
 
 
@@ -125,7 +134,8 @@ def _lin_forward(x, w, seed, cfg, interpret):
     fmt, mode = _fmt_args(cfg.iact)
     out = qdq_matmul(x, w, fmt_x=fmt, mode_x=mode, fmt_w=None,
                      scale_x=_operand_scale(x, cfg.iact),
-                     seed=seed, out_dtype=jnp.float32, interpret=interpret)
+                     seed=seed, out_dtype=jnp.float32, interpret=interpret,
+                     impl=_impl_of(cfg.iact))
     return out.astype(x.dtype)
 
 

@@ -10,12 +10,16 @@ from .kv_cache import (  # noqa: F401
 from .model import (  # noqa: F401
     ServeConfig,
     convert_decoder_params,
+    decode_chunk,
+    decode_chunk_paged,
     decode_step,
     decode_step_paged,
     decode_steps,
     decode_steps_paged,
     fp8_linear,
     prefill,
+    prefill_batch,
+    prefill_batch_paged,
     prefill_paged,
     random_serve_params,
 )

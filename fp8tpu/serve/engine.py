@@ -1,16 +1,40 @@
 """Continuous-batching serving engine.
 
-Single-host scheduler around the fused :func:`decode_step`: a fixed pool
+Single-host scheduler around the chunked serving decoder: a fixed pool
 of batch slots, each with its own sequence position; new requests prefill
-into free slots (prompt lengths bucketed to bound recompiles) while
-decode continues for the rest — the standard TPU continuous-batching
-shape (static shapes, per-slot masks).  The reference has no serving
-path at all; this is the north-star component (BASELINE.md).
+into free slots while decode continues for the rest — the standard TPU
+continuous-batching shape (static shapes, per-slot masks).  The reference
+has no serving path at all; this is the north-star component
+(BASELINE.md).
+
+Scheduler design (round-3 rework — VERDICT r2 measured the previous
+host-serialized scheduler at ~7x below the raw chunked-decode loop):
+
+* **Fixed decode chunks + device-side parking.**  The chunk length is a
+  power of two sized to the LONGEST remaining budget (capped at
+  ``chunk_size``), never the shortest: a nearly-done request no longer
+  collapses the whole batch to 1-step chunks.  A slot that retires
+  (budget/EOS) mid-chunk is simply *parked* — the device keeps decoding
+  it (zero marginal cost; batch shapes are static) and the host discards
+  its surplus tokens at reconciliation.  Ring garbage is overwritten by
+  the next prefill's window; paged garbage drops (table row is -1).
+* **Batched admission.**  All admissible queued requests prefill in ONE
+  dispatch (``prefill_batch``): prompts pad to a shared length bucket,
+  the admission count pads to a power-of-two bucket, first tokens sample
+  on device with per-request params, and the engine's device
+  token/position carry is patched in the same program.
+* **Pipelined dispatch.**  Decode chunks chain through a device-resident
+  (tokens, positions, cache) carry (``decode_chunk``), so dispatching
+  chunk k+1 never waits for chunk k's host readback.  The host
+  reconciles (EOS/budget retirement) up to ``depth`` chunks behind the
+  dispatch frontier; per-slot generation counters discard tokens a
+  parked slot produced after its logical retirement.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from collections import deque
 from typing import Dict, List, Optional
 
 import jax
@@ -18,8 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .kv_cache import PagedKVCache, RingKVCache
-from .model import (ServeConfig, decode_step, decode_steps,
-                    decode_steps_paged, prefill, prefill_paged)
+from .model import (ServeConfig, decode_chunk, decode_chunk_paged,
+                    prefill_batch, prefill_batch_paged)
 
 
 @dataclasses.dataclass
@@ -36,7 +60,7 @@ class Request:
 @dataclasses.dataclass
 class _SlotState:
     uid: int
-    pos: int                     # next write position
+    pos: int                     # next write position (host view)
     remaining: int
     temperature: float
     top_k: int
@@ -52,22 +76,33 @@ def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
     return buckets[-1]
 
 
+def _pow2ceil(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 class ServingEngine:
     """Continuous batching over ``n_slots`` concurrent sequences."""
 
     def __init__(self, params: Dict, cfg: ServeConfig, n_slots: int = 8,
                  max_seq: Optional[int] = None, seed: int = 0,
                  chunk_size: int = 32, use_paged: bool = False,
-                 page_size: int = 64, n_pages: Optional[int] = None):
+                 page_size: int = 64, n_pages: Optional[int] = None,
+                 depth: int = 2):
         m = cfg.model
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
         self.max_seq = max_seq or m.max_seq_len
-        # Steps decoded per dispatch (on-device sampling); host re-enters
-        # between chunks for admission / EOS retirement.  The host round
-        # trip is ~30 ms on a tunneled chip — large chunks amortize it.
-        self.chunk_size = chunk_size
+        # Upper bound on steps decoded per dispatch.  The host round trip
+        # is ~30 ms on a tunneled chip — large chunks amortize it; the
+        # pipeline (``depth``) hides the rest.
+        self.chunk_size = max(1, chunk_size)
+        # Chunks the host may lag behind the dispatch frontier before it
+        # must reconcile results.
+        self.depth = max(0, depth)
         # Ring (throughput, per-slot sliding window of max_seq) or paged
         # pool (long context: each slot holds up to max_seq tokens exactly,
         # memory allocated page-wise, reclaimed on retirement).
@@ -95,45 +130,89 @@ class ServingEngine:
         self.queue: List[Request] = []
         self.finished: Dict[int, List[int]] = {}
         self.key = jax.random.key(seed)
-        self._tokens = np.zeros((n_slots,), np.int32)
-        self._positions = np.zeros((n_slots,), np.int32)
+        # Device-resident decode carry (chained across dispatches).
+        self._tokens_dev = jnp.zeros((n_slots,), jnp.int32)
+        self._pos_dev = jnp.zeros((n_slots,), jnp.int32)
+        # Per-slot admission generation: reconciliation drops tokens whose
+        # dispatch-time generation no longer matches (slot was refilled).
+        self._gen = [0] * n_slots
+        # Decode steps dispatched but not yet reconciled, per slot.
+        self._pending = [0] * n_slots
+        self._inflight: deque = deque()
 
     # -- public API ------------------------------------------------------
     def submit(self, req: Request):
+        if self.use_paged:
+            prompt = self._trim_prompt(req)
+            need_tokens = min(len(prompt) + req.max_new_tokens + 1,
+                              self.max_seq)
+            need = -(-need_tokens // self.cache.page_size)
+            if need > self.cache.pool.shape[0]:
+                raise ValueError(
+                    f"request {req.uid} needs {need} pages but the pool "
+                    f"only has {self.cache.pool.shape[0]}; lower "
+                    f"max_new_tokens or grow n_pages")
         self.queue.append(req)
 
     def run(self, requests: Optional[List[Request]] = None,
             max_steps: int = 10 ** 6) -> Dict[int, List[int]]:
         for r in requests or ():
             self.submit(r)
-        steps = 0
-        while (self.queue or any(self.slots)) and steps < max_steps:
-            self.step()
-            steps += 1
+        dispatched = 0
+        while True:
+            self._admit()
+            if dispatched < max_steps and self._dispatch():
+                dispatched += 1
+            # Reconcile once the backlog exceeds the pipeline depth, or
+            # when there is nothing left to dispatch (all in flight).
+            while self._inflight and (len(self._inflight) > self.depth
+                                      or not self._dispatchable()):
+                self._process(self._inflight.popleft())
+            if dispatched >= max_steps:
+                while self._inflight:
+                    self._process(self._inflight.popleft())
+                break
+            if not (self.queue or self._inflight
+                    or any(s is not None for s in self.slots)):
+                break
         out, self.finished = self.finished, {}
         return out
 
+    def step(self):
+        """Synchronous scheduler iteration (admit → one chunk → reconcile).
+        ``run`` is the pipelined production loop; this is the simple,
+        fully-reconciled variant for tests/debugging."""
+        self._admit()
+        if self._dispatch():
+            self._process(self._inflight.popleft())
+
     # -- scheduler -------------------------------------------------------
-    def _chunk_len(self) -> int:
-        active = [(i, s) for i, s in enumerate(self.slots) if s is not None]
-        # The ring cache wraps: context beyond max_seq slides (per-slot
-        # window), so only the generation budget bounds the chunk.  Paged
-        # slots are additionally bounded by their mapped capacity.
-        budget = min(s.remaining for _, s in active)
-        if self.use_paged:
-            cap = min(len(self._slot_pages[i]) * self.cache.page_size
-                      - s.pos for i, s in active)
-            budget = min(budget, max(cap, 1))
-        # Bucket to powers of two so only a few n_steps programs compile.
-        chunk = 1
-        while chunk * 2 <= min(budget, self.chunk_size):
-            chunk *= 2
-        return max(chunk, 1)
+    def _trim_prompt(self, req: Request) -> List[int]:
+        prompt = req.prompt[-(self.max_seq - req.max_new_tokens - 1):]
+        return prompt if prompt else [0]   # empty: decode from BOS-like 0
+
+    def _rem_est(self, i: int) -> int:
+        st = self.slots[i]
+        return 0 if st is None else st.remaining - self._pending[i]
+
+    def _dispatchable(self) -> bool:
+        return any(self._rem_est(i) > 0 for i in range(self.n_slots))
+
+    def _pick_chunk(self) -> int:
+        """Power-of-two chunk covering the LONGEST remaining budget
+        (capped at chunk_size).  Slots finishing earlier are parked on
+        device; their surplus tokens are discarded at reconciliation."""
+        tgt = max((self._rem_est(i) for i in range(self.n_slots)),
+                  default=0)
+        if tgt <= 0:
+            return 0
+        return min(_pow2ceil(tgt), _pow2ceil(self.chunk_size))
 
     def _retire(self, i: int):
         st = self.slots[i]
         self.finished[st.uid] = st.tokens
         self.slots[i] = None
+        self._pending[i] = 0
         if self.use_paged:
             self.free_pages.extend(self._slot_pages[i])
             self._slot_pages[i] = []
@@ -142,21 +221,18 @@ class ServingEngine:
 
     def _sync_table(self):
         if self.use_paged and self._table_dirty:
-            import dataclasses as _dc
-            self.cache = _dc.replace(self.cache,
-                                     page_table=jnp.asarray(self._table))
+            self.cache = dataclasses.replace(
+                self.cache, page_table=jnp.asarray(self._table))
             self._table_dirty = False
 
-    def step(self):
-        self._admit()
-        if not any(self.slots):
-            return
-        chunk = self._chunk_len()
+    def _sampling_arrays(self):
         temps = jnp.asarray([
             self.slots[i].temperature if self.slots[i] else 0.0
             for i in range(self.n_slots)], jnp.float32)
         # Only engage the top-k/top-p filter program when some active
-        # request asked for it (keeps the plain path's compilation).
+        # request asked for it (keeps the plain path's compilation);
+        # filtering is per-slot inside sample_tokens, so co-batched
+        # unfiltered slots still draw from the full vocabulary.
         tks = [self.slots[i].top_k if self.slots[i] else 0
                for i in range(self.n_slots)]
         tps = [self.slots[i].top_p if self.slots[i] else 1.0
@@ -164,17 +240,40 @@ class ServingEngine:
         filtering = any(k > 0 for k in tks) or any(p < 1.0 for p in tps)
         top_k = jnp.asarray(tks, jnp.int32) if filtering else None
         top_p = jnp.asarray(tps, jnp.float32) if filtering else None
+        return temps, top_k, top_p
+
+    def _dispatch(self) -> bool:
+        chunk = self._pick_chunk()
+        if chunk == 0:
+            return False
+        temps, top_k, top_p = self._sampling_arrays()
         self.key, sub = jax.random.split(self.key)
         self._sync_table()
-        decode = decode_steps_paged if self.use_paged else decode_steps
-        toks, self.cache = decode(
-            self.params, self.cache, jnp.asarray(self._tokens),
-            jnp.asarray(self._positions), sub, temps, chunk, self.cfg,
-            top_k=top_k, top_p=top_p)
-        toks = np.asarray(toks)                     # (B, chunk)
-        for i, st in enumerate(self.slots):
-            if st is None:
+        decode = decode_chunk_paged if self.use_paged else decode_chunk
+        toks, self.cache, self._tokens_dev, self._pos_dev = decode(
+            self.params, self.cache, self._tokens_dev, self._pos_dev,
+            sub, temps, chunk, self.cfg, top_k=top_k, top_p=top_p)
+        gens = []
+        for i in range(self.n_slots):
+            if self.slots[i] is not None:
+                self._pending[i] += chunk
+                gens.append(self._gen[i])
+            else:
+                gens.append(-1)
+        self._inflight.append((toks, chunk, gens))
+        return True
+
+    def _process(self, entry):
+        """Reconcile one chunk's results: consume tokens per slot up to
+        budget/EOS, retire finished slots.  Tokens from a generation that
+        no longer matches (slot refilled since dispatch) are dropped."""
+        toks_dev, chunk, gens = entry
+        toks = np.asarray(toks_dev)                 # (B, chunk) readback
+        for i in range(self.n_slots):
+            st = self.slots[i]
+            if st is None or gens[i] < 0 or gens[i] != self._gen[i]:
                 continue
+            self._pending[i] -= chunk
             for j in range(chunk):
                 tok = int(toks[i, j])
                 st.tokens.append(tok)
@@ -184,62 +283,69 @@ class ServingEngine:
                         or (st.eos_id is not None and tok == st.eos_id)):
                     self._retire(i)
                     break
-            if self.slots[i] is not None:
-                self._tokens[i] = int(toks[i, chunk - 1])
-                self._positions[i] = self.slots[i].pos
 
     def _admit(self):
-        for i in range(self.n_slots):
-            if self.slots[i] is not None or not self.queue:
-                continue
+        """Admit every admissible queued request in ONE batched prefill
+        dispatch (one host readback for the whole batch's first tokens)."""
+        batch = []                                   # (slot, req, prompt)
+        free = (i for i in range(self.n_slots) if self.slots[i] is None)
+        for i in free:
+            if not self.queue:
+                break
             req = self.queue[0]
-            prompt = req.prompt[-(self.max_seq - req.max_new_tokens - 1):]
-            if not prompt:
-                prompt = [0]     # empty prompt: decode from a BOS-like 0
+            prompt = self._trim_prompt(req)
             if self.use_paged:
-                # Map enough pages for prompt + generation budget up front;
-                # stay queued if the pool can't satisfy it yet.
+                # Map enough pages for prompt + generation budget up
+                # front; stay queued (FIFO) if the pool can't satisfy it.
                 need_tokens = min(len(prompt) + req.max_new_tokens + 1,
                                   self.max_seq)
                 psz = self.cache.page_size
                 need = -(-need_tokens // psz)
                 if len(self.free_pages) < need:
-                    continue
+                    break
                 pages = [self.free_pages.pop() for _ in range(need)]
                 self._slot_pages[i] = pages
                 self._table[i] = -1
                 self._table[i, :need] = pages
                 self._table_dirty = True
             self.queue.pop(0)
-            bucket = min(_bucket(len(prompt)), self.max_seq)
-            padded = np.zeros((bucket,), np.int32)
-            padded[:len(prompt)] = prompt
-            self._sync_table()
-            do_prefill = prefill_paged if self.use_paged else prefill
-            logits, self.cache = do_prefill(
-                self.params, self.cache, jnp.asarray(padded),
-                jnp.int32(i), jnp.int32(len(prompt)), self.cfg)
-            first = self._sample_first(logits, req)
+            batch.append((i, req, prompt))
+        if not batch:
+            return
+        sp = min(_bucket(max(len(p) for _, _, p in batch)), self.max_seq)
+        n = _pow2ceil(len(batch))
+        prompts = np.zeros((n, sp), np.int32)
+        slots = np.full((n,), self.n_slots, np.int32)   # pad rows drop
+        lengths = np.zeros((n,), np.int32)
+        temps = np.zeros((n,), np.float32)
+        tks = np.zeros((n,), np.int32)
+        tps = np.ones((n,), np.float32)
+        for j, (i, req, prompt) in enumerate(batch):
+            prompts[j, :len(prompt)] = prompt
+            slots[j] = i
+            lengths[j] = len(prompt)
+            temps[j] = req.temperature
+            tks[j] = req.top_k
+            tps[j] = req.top_p
+        self.key, sub = jax.random.split(self.key)
+        self._sync_table()
+        do_prefill = prefill_batch_paged if self.use_paged else prefill_batch
+        first, self.cache, self._tokens_dev, self._pos_dev = do_prefill(
+            self.params, self.cache, jnp.asarray(prompts),
+            jnp.asarray(slots), jnp.asarray(lengths), sub,
+            jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps),
+            self._tokens_dev, self._pos_dev, self.cfg)
+        firsts = np.asarray(first)              # ONE readback per batch
+        for j, (i, req, prompt) in enumerate(batch):
+            tok = int(firsts[j])
+            self._gen[i] += 1
+            self._pending[i] = 0
             self.slots[i] = _SlotState(
                 uid=req.uid, pos=len(prompt), remaining=req.max_new_tokens,
                 temperature=req.temperature, top_k=req.top_k,
-                top_p=req.top_p, eos_id=req.eos_id, tokens=[int(first)])
-            self._tokens[i] = int(first)
-            self._positions[i] = len(prompt)
+                top_p=req.top_p, eos_id=req.eos_id, tokens=[tok])
             # First sampled token counts toward the budget.
             self.slots[i].remaining -= 1
-            if self.slots[i].remaining <= 0:
+            if (self.slots[i].remaining <= 0
+                    or (req.eos_id is not None and tok == req.eos_id)):
                 self._retire(i)
-
-    def _sample_first(self, logits: jax.Array, req: Request) -> int:
-        """Sample the admitted request's first token with ITS sampling
-        params (the chunked decode handles subsequent tokens)."""
-        from .model import sample_tokens
-        self.key, sub = jax.random.split(self.key)
-        filtering = req.top_k > 0 or req.top_p < 1.0
-        tok = sample_tokens(
-            logits[None], sub,
-            jnp.asarray([req.temperature], jnp.float32),
-            jnp.asarray([req.top_k], jnp.int32) if filtering else None,
-            jnp.asarray([req.top_p], jnp.float32) if filtering else None)
-        return int(np.asarray(tok)[0])

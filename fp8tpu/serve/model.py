@@ -59,6 +59,11 @@ class ServeConfig:
     # payloads (the reference's block_norm embedding mode,
     # e5m2_emu.py:119-137, row = block).
     embed_fmt: str = "bf16"
+    # AWQ-class K-group size for int4 weights (None → per-output-channel
+    # scales only).  128 is the production default: serve_int4 ΔPPL vs
+    # the bf16 twin passes the ≤0.1 gate with grouped scales
+    # (ACCURACY.json) where per-channel-only sat at +0.19.
+    int4_group: Optional[int] = 128
     # Ring-write implementation.  "xla" (dynamic_update_slice) is the
     # default: with the ring structure (single leading-index write per
     # step) XLA updates the carry in place.  "pallas" routes through the
@@ -91,26 +96,40 @@ def fp8_linear(x: jax.Array, w8: jax.Array, scale: jax.Array,
     return (out * s).astype(x.dtype)
 
 
-def quantize_weights_int4(w: jax.Array) -> tuple:
-    """Per-output-channel symmetric int4 with nibble packing along K.
+def quantize_weights_int4(w: jax.Array,
+                          group_size: Optional[int] = None) -> tuple:
+    """Symmetric int4 with nibble packing along K.
 
     Two K-adjacent values share one byte (w[2k] in the low nibble); the
     decode matmul splits the contraction into even/odd halves over the
     packed bytes.  W4A16 HALVES weight memory vs fp8 (a 7B model's
     weights fit in ~3.5 GB), doubling model capacity per chip.  On v5e
     int4 is a CAPACITY mode, not a speed win: the single-pass Pallas
-    unpack kernel exists (kernels/int4_matmul.py, with AWQ-class grouped
-    scales) but Mosaic's int32-widened unpack costs more than the bytes
-    it saves, so this XLA two-pass formulation stays the production
-    route (measured in NOTES.md r2).  INT4 is part of the reference's
-    format surface (qutils.py:216-247).
+    unpack kernel exists (kernels/int4_matmul.py) but Mosaic's
+    int32-widened unpack costs more than the bytes it saves, so this XLA
+    formulation stays the production route (measured in NOTES.md r2).
+    INT4 is part of the reference's format surface (qutils.py:216-247).
 
-    Returns (packed (K/2, N) uint8, scales (N,) f32).
+    ``group_size``: None → one scale per output channel (scales (N,));
+    an int → AWQ-class grouped scales, one per (K-group, output channel)
+    (scales (K/group_size, N) — the production int4 accuracy
+    configuration; K not divisible by group_size falls back to one
+    group).  Returns (packed (K/2, N) uint8, scales f32).
     """
     wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=0)
-    s = jnp.where(amax > 0, amax / 7.0, 1.0)
-    q = jnp.clip(jnp.round(wf / s), -8, 7).astype(jnp.int32)
+    K, N = wf.shape
+    if group_size is not None:
+        gs = group_size if K % group_size == 0 and K >= group_size else K
+        G = K // gs
+        wg = wf.reshape(G, gs, N)
+        amax = jnp.max(jnp.abs(wg), axis=1)                  # (G, N)
+        s = jnp.where(amax > 0, amax / 7.0, 1.0)
+        q = jnp.clip(jnp.round(wg / s[:, None]), -8, 7)
+        q = q.reshape(K, N).astype(jnp.int32)
+    else:
+        amax = jnp.max(jnp.abs(wf), axis=0)
+        s = jnp.where(amax > 0, amax / 7.0, 1.0)
+        q = jnp.clip(jnp.round(wf / s), -8, 7).astype(jnp.int32)
     even, odd = q[0::2], q[1::2]
     packed = ((even & 0xF) | ((odd & 0xF) << 4)).astype(jnp.uint8)
     return packed, s.astype(jnp.float32)
@@ -118,8 +137,12 @@ def quantize_weights_int4(w: jax.Array) -> tuple:
 
 def int4_linear(x: jax.Array, wp: jax.Array, scale: jax.Array) -> jax.Array:
     """x @ dequant(int4-packed w): the unpack (shift/sign-extend on the
-    packed bytes) fuses into the two half-contraction dot operands."""
-    s = scale.reshape(-1)
+    packed bytes) fuses into the two half-contraction dot operands.
+
+    ``scale`` (N,) applies per output channel in the epilogue; a 2-D
+    (G, N) grouped scale is folded into the dot's weight operand instead
+    (it depends on the contraction index, so it cannot factor out) — K
+    must satisfy G * group_size == K with an even group_size."""
     # CPU's dot thunk rejects bf16 x bf16 -> f32; compute in f32 there.
     dt = x.dtype if jax.default_backend() == "tpu" else jnp.float32
     xe = x[..., 0::2].astype(dt)
@@ -127,6 +150,19 @@ def int4_linear(x: jax.Array, wp: jax.Array, scale: jax.Array) -> jax.Array:
     lo = ((wp & 0xF).astype(jnp.int8) << 4 >> 4).astype(dt)
     hi = (wp.astype(jnp.int8) >> 4).astype(dt)
     nd = x.ndim - 1
+    if scale.ndim == 2:
+        # grouped: row k of the packed matrix holds original rows
+        # (2k, 2k+1), both in group (2k)//gs → packed-row group index
+        # k // (gs//2); expand to one scale row per packed row.
+        srow = jnp.repeat(scale, wp.shape[0] // scale.shape[0],
+                          axis=0).astype(dt)                 # (K/2, N)
+        out = (jax.lax.dot_general(xe, lo * srow, (((nd,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(xo, hi * srow,
+                                     (((nd,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32))
+        return out.astype(x.dtype)
+    s = scale.reshape(-1)
     out = (jax.lax.dot_general(xe, lo, (((nd,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
            + jax.lax.dot_general(xo, hi, (((nd,), (0,)), ((), ())),
@@ -148,7 +184,7 @@ def _embed_lookup(params, toks):
     e = params["embed"]
     if "embed_s" in params:
         rows = e[toks].astype(jnp.bfloat16)
-        return rows * params["embed_s"][toks][:, None].astype(jnp.bfloat16)
+        return rows * params["embed_s"][toks][..., None].astype(jnp.bfloat16)
     return e[toks].astype(jnp.bfloat16)
 
 
@@ -172,7 +208,8 @@ def _rms(x, scale, eps):
 
 def convert_decoder_params(variables, cfg: DecoderConfig,
                            fmt: str = "e4m3",
-                           embed_fmt: str = "bf16") -> Dict:
+                           embed_fmt: str = "bf16",
+                           int4_group: Optional[int] = 128) -> Dict:
     """Quantize trained Decoder params (fp8tpu.models.transformer) into the
     serving artifact: stacked per-layer fp8 payloads + scales."""
     p = variables["params"]
@@ -182,7 +219,7 @@ def convert_decoder_params(variables, cfg: DecoderConfig,
             return (w.astype(jnp.bfloat16),
                     jnp.ones((w.shape[-1],), jnp.float32))
         if fmt == "int4":
-            return quantize_weights_int4(w)
+            return quantize_weights_int4(w, group_size=int4_group)
         payload, s = quantize_weights(w, fmt, axis=-1)
         return payload, s.reshape(-1)
 
@@ -245,17 +282,25 @@ def random_serve_params(cfg: DecoderConfig, fmt: str = "e4m3",
             x = jax.random.normal(key, (L, k, n), jnp.bfloat16) * 0.02
             return x.astype(dt)
 
+    def sc(k, n):
+        # int4 production scales are grouped (G, N) per layer — the
+        # bench must run the grouped compute graph, not per-channel
+        if fmt == "int4":
+            g = k // 128 if (k % 128 == 0 and k >= 128) else 1
+            return jnp.ones((L, g, n), jnp.float32)
+        return jnp.ones((L, n), jnp.float32)
+
     ks = jax.random.split(key, 8)
     out = {
         "attn_norm": jnp.ones((L, Dm), jnp.float32),
         "mlp_norm": jnp.ones((L, Dm), jnp.float32),
-        "q8": w(ks[0], Dm, HD), "qs": jnp.ones((L, HD), jnp.float32),
-        "k8": w(ks[1], Dm, KVD), "ks": jnp.ones((L, KVD), jnp.float32),
-        "v8": w(ks[2], Dm, KVD), "vs": jnp.ones((L, KVD), jnp.float32),
-        "o8": w(ks[3], HD, Dm), "os": jnp.ones((L, Dm), jnp.float32),
-        "gate8": w(ks[4], Dm, FF), "gates": jnp.ones((L, FF), jnp.float32),
-        "up8": w(ks[5], Dm, FF), "ups": jnp.ones((L, FF), jnp.float32),
-        "down8": w(ks[6], FF, Dm), "downs": jnp.ones((L, Dm), jnp.float32),
+        "q8": w(ks[0], Dm, HD), "qs": sc(Dm, HD),
+        "k8": w(ks[1], Dm, KVD), "ks": sc(Dm, KVD),
+        "v8": w(ks[2], Dm, KVD), "vs": sc(Dm, KVD),
+        "o8": w(ks[3], HD, Dm), "os": sc(HD, Dm),
+        "gate8": w(ks[4], Dm, FF), "gates": sc(Dm, FF),
+        "up8": w(ks[5], Dm, FF), "ups": sc(Dm, FF),
+        "down8": w(ks[6], FF, Dm), "downs": sc(FF, Dm),
         "embed": jax.random.normal(ks[7], (cfg.vocab_size, Dm),
                                    jnp.bfloat16) * 0.02,
         "final_norm": jnp.ones((Dm,), jnp.float32),
@@ -342,29 +387,36 @@ def sample_tokens(logits: jax.Array, key: jax.Array,
     """On-device per-slot sampling: temperature (0 → greedy), optional
     top-k (0 disables) and nucleus top-p (>= 1 disables) filtering over
     a ``_CANDIDATES``-wide pool (one lax.top_k over the vocab instead of
-    a full sort — the standard serving-cost trade)."""
+    a full sort — the standard serving-cost trade).
+
+    Filtering is strictly per-slot: a slot with both filters disabled
+    draws from the FULL vocabulary even when co-batched with filtered
+    slots (its distribution must not depend on batch-mates)."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    full = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     if top_k is None and top_p is None:
-        sampled = jax.random.categorical(key, scaled,
-                                         axis=-1).astype(jnp.int32)
-        return jnp.where(temperature > 0, sampled, greedy)
-    vals, idx = jax.lax.top_k(scaled, _CANDIDATES)           # (B, C)
+        return jnp.where(temperature > 0, full, greedy)
+    C = min(_CANDIDATES, logits.shape[-1])
+    vals, idx = jax.lax.top_k(scaled, C)                     # (B, C)
+    k_off = jnp.ones(scaled.shape[:1], bool)
+    p_off = jnp.ones(scaled.shape[:1], bool)
     if top_k is not None:
-        k = jnp.where((top_k <= 0) | (top_k > _CANDIDATES),
-                      _CANDIDATES, top_k)
-        vals = jnp.where(jnp.arange(_CANDIDATES)[None] < k[:, None],
-                         vals, _NEG)
+        k_off = top_k <= 0
+        k = jnp.where(k_off | (top_k > C), C, top_k)
+        vals = jnp.where(jnp.arange(C)[None] < k[:, None], vals, _NEG)
     if top_p is not None:
-        p = jnp.where((top_p <= 0) | (top_p >= 1), 1.0, top_p)
+        p_off = top_p >= 1
+        p = jnp.where((top_p <= 0) | p_off, 1.0, top_p)
         probs = jax.nn.softmax(vals, axis=-1)
         csum = jnp.cumsum(probs, axis=-1)
         # keep a token while the mass BEFORE it is < p (the argmax token
         # always survives)
         vals = jnp.where((csum - probs) < p[:, None], vals, _NEG)
     choice = jax.random.categorical(key, vals, axis=-1)
-    sampled = jnp.take_along_axis(idx, choice[:, None],
-                                  axis=1)[:, 0].astype(jnp.int32)
+    pooled = jnp.take_along_axis(idx, choice[:, None],
+                                 axis=1)[:, 0].astype(jnp.int32)
+    sampled = jnp.where(k_off & p_off, full, pooled)
     return jnp.where(temperature > 0, sampled, greedy)
 
 
@@ -453,9 +505,9 @@ def _steps_impl(params: Dict, ring: RingKVCache, tokens: jax.Array,
         return (nxt, pos + 1, kv8, sc, head), out
 
     keys = jax.random.split(key, n_steps)
-    (_, _, kv8, sc, head), outs = jax.lax.scan(
+    (ftoks, fpos, kv8, sc, head), outs = jax.lax.scan(
         one, (tokens, positions, ring.kv8, ring.sc, ring.head), keys)
-    return outs, RingKVCache(kv8, sc, head)
+    return outs, RingKVCache(kv8, sc, head), ftoks, fpos
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps"),
@@ -472,10 +524,29 @@ def decode_steps(params: Dict, ring: RingKVCache, tokens: jax.Array,
     (0 disables) and nucleus ``top_p`` (B,) f32 (>=1 disables) filter the
     sampled distribution on device.  Returns (sampled tokens
     (B, n_steps), ring)."""
-    toks, ring = _steps_impl(params, ring, tokens, positions, key,
-                             temperature, n_steps, cfg, want_logits=False,
-                             top_k=top_k, top_p=top_p)
+    toks, ring, _, _ = _steps_impl(params, ring, tokens, positions, key,
+                                   temperature, n_steps, cfg,
+                                   want_logits=False,
+                                   top_k=top_k, top_p=top_p)
     return toks.T, ring
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"),
+         donate_argnames=("ring",))
+def decode_chunk(params: Dict, ring: RingKVCache, tokens: jax.Array,
+                 positions: jax.Array, key: jax.Array,
+                 temperature: jax.Array, n_steps: int, cfg: ServeConfig,
+                 top_k=None, top_p=None):
+    """:func:`decode_steps` plus the final device carry: returns
+    (tokens (B, n_steps), ring, last_tokens (B,), positions (B,)).
+
+    The engine chains chunks through the returned device carry so a
+    dispatch never needs a host readback of the previous chunk (the
+    readback happens lazily, pipeline-deep behind the dispatch chain)."""
+    toks, ring, ftoks, fpos = _steps_impl(
+        params, ring, tokens, positions, key, temperature, n_steps, cfg,
+        want_logits=False, top_k=top_k, top_p=top_p)
+    return toks.T, ring, ftoks, fpos
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("ring",))
@@ -485,38 +556,31 @@ def decode_step(params: Dict, ring: RingKVCache, tokens: jax.Array,
     """One decode step for all slots; returns (logits (B, V) f32, ring).
     Numerically identical to one step of :func:`decode_steps` (shared
     implementation)."""
-    logits, ring = _steps_impl(
+    logits, ring, _, _ = _steps_impl(
         params, ring, tokens, positions, jax.random.key(0),
         jnp.zeros(tokens.shape, jnp.float32), 1, cfg, want_logits=True)
     return logits[0], ring
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("ring",))
-def prefill(params: Dict, ring: RingKVCache, tokens: jax.Array,
-            slot: jax.Array, length: jax.Array, cfg: ServeConfig
-            ) -> Tuple[jax.Array, RingKVCache]:
-    """Prefill one slot with a right-padded (S_p,) prompt of true length
-    ``length``; returns (logits at the last valid token, ring).
-
-    The prompt's k/v land at ring rows ``(head - length + i) mod S`` so
-    the slot's context is exactly its last ``length`` rows.  Rows at
-    index >= length (padding) land at/after ``head``; the per-slot mask
-    hides them until the slot's own decode writes overwrite them."""
+def _dense_forward(params, toks: jax.Array, cfg: "ServeConfig"):
+    """Dense causal forward over (N, Sp) right-padded prompts — the shared
+    prefill body (single-slot, batched-admission, ring and paged variants
+    all route here).  Returns (h (N, Sp, Dm) bf16 pre-final-norm,
+    pk8 (L, N, Sp, KV, D), pks (L, N, Sp, KV), pv8, pvs)."""
     mcfg = cfg.model
     H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
-    Sp = tokens.shape[0]
-    S = ring.max_seq
+    N, Sp = toks.shape
     linear = _make_linear(cfg)
 
-    h = _embed_lookup(params, tokens)                     # (Sp, Dm)
+    h = _embed_lookup(params, toks)                       # (N, Sp, Dm)
     inv_freq = rope_freqs(mcfg)
     pos = jnp.arange(Sp)
     ang = pos[:, None].astype(jnp.float32) * inv_freq
     cos, sin = jnp.cos(ang), jnp.sin(ang)
 
-    def rope1(x):  # (Sp, n, D)
+    def rope1(x):  # (N, Sp, n, D)
         x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
-        c, s = cos[:, None], sin[:, None]
+        c, s = cos[None, :, None], sin[None, :, None]
         return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
                                axis=-1).astype(x.dtype)
 
@@ -528,24 +592,24 @@ def prefill(params: Dict, ring: RingKVCache, tokens: jax.Array,
          gate8, gates, up8, ups, down8, downs) = xs
 
         x = _rms(h, attn_norm, mcfg.norm_eps)
-        q = linear(x, q8, qs).reshape(Sp, H, D)
-        k = linear(x, k8w, ksw).reshape(Sp, KV, D)
-        v = linear(x, v8w, vsw).reshape(Sp, KV, D)
+        q = linear(x, q8, qs).reshape(N, Sp, H, D)
+        k = linear(x, k8w, ksw).reshape(N, Sp, KV, D)
+        v = linear(x, v8w, vsw).reshape(N, Sp, KV, D)
         q, k = rope1(q), rope1(k)
 
         kq8, kqs = quantize_kv(k, cfg.kv_fmt)
         vq8, vqs = quantize_kv(v, cfg.kv_fmt)
 
         # Dense causal attention on the fresh (bf16) K/V — prefill is
-        # compute-bound; the ring writes below are for later decode.
+        # compute-bound; the cache writes happen in the caller.
         G = H // KV
-        qg = q.reshape(Sp, KV, G, D)
-        scores = jnp.einsum("skgd,tkd->skgt", qg.astype(jnp.float32),
+        qg = q.reshape(N, Sp, KV, G, D)
+        scores = jnp.einsum("nskgd,ntkd->nskgt", qg.astype(jnp.float32),
                             k.astype(jnp.float32)) / jnp.sqrt(D)
-        scores = jnp.where(causal[:, None, None, :], scores, _NEG)
+        scores = jnp.where(causal[None, :, None, None, :], scores, _NEG)
         probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("skgt,tkd->skgd", probs, v.astype(jnp.float32))
-        ctx = ctx.reshape(Sp, H * D).astype(jnp.bfloat16)
+        ctx = jnp.einsum("nskgt,ntkd->nskgd", probs, v.astype(jnp.float32))
+        ctx = ctx.reshape(N, Sp, H * D).astype(jnp.bfloat16)
         h = h + linear(ctx, o8, osw)
 
         x = _rms(h, mlp_norm, mcfg.norm_eps)
@@ -557,29 +621,83 @@ def prefill(params: Dict, ring: RingKVCache, tokens: jax.Array,
     h = h.astype(jnp.bfloat16)
     (h, _), (pk8, pks, pv8, pvs) = jax.lax.scan(
         layer_step, (h, jnp.int32(0)), _layer_xs(params))
-    # pk8: (L, Sp, KV, D); write each prompt token's row into this slot's
-    # column block of the ring.
-    rows = jnp.mod(ring.head - length + jnp.arange(Sp), S)
+    return h, pk8, pks, pv8, pvs
 
-    def write_row(i, bufs):
-        kv8, sc = bufs
-        row = rows[i]
-        slab8 = jnp.stack([pk8[:, i], pv8[:, i]])          # (2, L, KV, D)
-        slabs = jnp.stack([pks[:, i], pvs[:, i]])          # (2, L, KV)
-        col = slot * KV
-        z = jnp.zeros((), jnp.int32)
-        kv8 = jax.lax.dynamic_update_slice(
-            kv8, slab8[None].astype(kv8.dtype), (row, z, z, col, z))
-        sc = jax.lax.dynamic_update_slice(
-            sc, slabs[None], (row, z, z, col))
-        return kv8, sc
 
-    kv8, sc = jax.lax.fori_loop(0, Sp, write_row, (ring.kv8, ring.sc))
+def _ring_write_prompts(ring: RingKVCache, pk8, pks, pv8, pvs,
+                        slots: jax.Array, lengths: jax.Array
+                        ) -> RingKVCache:
+    """Scatter N prompts' quantized k/v into the ring — one batched
+    scatter for all slots.  Prompt n's token i lands at row
+    ``(head - lengths[n] + i) mod S`` in slot n's column block; padding
+    rows (i >= length) and padding slots (slot >= n_slots) DROP via
+    out-of-range indices."""
+    L, N, Sp, KV, D = pk8.shape
+    S = ring.max_seq
+    BK = ring.kv8.shape[3]
+    rows = jnp.mod(ring.head - lengths[:, None] + jnp.arange(Sp)[None], S)
+    valid = jnp.arange(Sp)[None] < lengths[:, None]       # (N, Sp)
+    rows = jnp.where(valid, rows, S)                      # S → dropped
+    cols = slots[:, None] * KV + jnp.arange(KV)[None]     # (N, KV)
+    cols = jnp.where(slots[:, None] * KV < BK, cols, BK)  # pad slot drops
+    r3 = rows[:, :, None]                                 # (N, Sp, 1)
+    c3 = cols[:, None, :]                                 # (N, 1, KV)
+    # advanced-index batch dims lead: values are (N, Sp, KV, 2, L, D)
+    vals8 = jnp.stack([pk8, pv8]).transpose(2, 3, 4, 0, 1, 5)
+    valss = jnp.stack([pks, pvs]).transpose(2, 3, 4, 0, 1)
+    kv8 = ring.kv8.at[r3, :, :, c3, :].set(
+        vals8.astype(ring.kv8.dtype), mode="drop")
+    sc = ring.sc.at[r3, :, :, c3].set(valss, mode="drop")
+    return RingKVCache(kv8, sc, ring.head)
 
-    h_last = jax.lax.dynamic_slice_in_dim(h, length - 1, 1, axis=0)
+
+def _first_token_logits(params, h, lengths, mcfg):
+    """Logits at each prompt's last valid token: h (N, Sp, Dm) → (N, V)."""
+    idx = jnp.clip(lengths - 1, 0, h.shape[1] - 1)
+    h_last = h[jnp.arange(h.shape[0]), idx]
     h_last = _rms(h_last, params["final_norm"], mcfg.norm_eps)
-    logits = _lm_head(params, h_last)[0]
-    return logits, RingKVCache(kv8, sc, ring.head)
+    return _lm_head(params, h_last)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("ring",))
+def prefill(params: Dict, ring: RingKVCache, tokens: jax.Array,
+            slot: jax.Array, length: jax.Array, cfg: ServeConfig
+            ) -> Tuple[jax.Array, RingKVCache]:
+    """Prefill one slot with a right-padded (S_p,) prompt of true length
+    ``length``; returns (logits at the last valid token, ring).
+
+    The prompt's k/v land at ring rows ``(head - length + i) mod S`` so
+    the slot's context is exactly its last ``length`` rows (padding rows
+    drop).  Thin N=1 wrapper over the batched admission path."""
+    h, pk8, pks, pv8, pvs = _dense_forward(params, tokens[None], cfg)
+    slots = jnp.reshape(slot, (1,)).astype(jnp.int32)
+    lengths = jnp.reshape(length, (1,)).astype(jnp.int32)
+    ring = _ring_write_prompts(ring, pk8, pks, pv8, pvs, slots, lengths)
+    logits = _first_token_logits(params, h, lengths, cfg.model)
+    return logits[0], ring
+
+
+@partial(jax.jit, static_argnames=("cfg",),
+         donate_argnames=("ring", "tokens", "positions"))
+def prefill_batch(params: Dict, ring: RingKVCache, prompts: jax.Array,
+                  slots: jax.Array, lengths: jax.Array, key: jax.Array,
+                  temperature: jax.Array, top_k, top_p,
+                  tokens: jax.Array, positions: jax.Array,
+                  cfg: ServeConfig):
+    """Admit N requests in ONE dispatch: dense-causal prefill of (N, Sp)
+    right-padded prompts, ring writes for all N slots, per-request
+    first-token sampling, and patching of the engine's device
+    token/position carry.  Rows with slots[n] >= n_slots (padding of the
+    N bucket) write nothing and patch nothing.
+
+    Returns (first_tokens (N,), ring, tokens (B,), positions (B,))."""
+    h, pk8, pks, pv8, pvs = _dense_forward(params, prompts, cfg)
+    ring = _ring_write_prompts(ring, pk8, pks, pv8, pvs, slots, lengths)
+    logits = _first_token_logits(params, h, lengths, cfg.model)
+    first = sample_tokens(logits, key, temperature, top_k, top_p)
+    tokens = tokens.at[slots].set(first, mode="drop")
+    positions = positions.at[slots].set(lengths, mode="drop")
+    return first, ring, tokens, positions
 
 
 # ---------------------------------------------------------------------------
@@ -769,9 +887,9 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
 
     keys = jax.random.split(key, n_steps)
     steps = jnp.arange(n_steps, dtype=jnp.int32)
-    (_, _, paged, _, _), outs = jax.lax.scan(
+    (ftoks, fpos, paged, _, _), outs = jax.lax.scan(
         one, (tokens, positions, paged, side8, side_sc), (steps, keys))
-    return outs, paged
+    return outs, paged, ftoks, fpos
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps"),
@@ -784,11 +902,26 @@ def decode_steps_paged(params: Dict, paged: PagedKVCache,
                        ) -> Tuple[jax.Array, PagedKVCache]:
     """``n_steps`` decode steps over the paged KV pool (long-context
     twin of :func:`decode_steps`).  Returns (tokens (B, n_steps), pool)."""
-    toks, paged = _steps_impl_paged(params, paged, tokens, positions, key,
-                                    temperature, n_steps, cfg,
-                                    want_logits=False, top_k=top_k,
-                                    top_p=top_p)
+    toks, paged, _, _ = _steps_impl_paged(params, paged, tokens, positions,
+                                          key, temperature, n_steps, cfg,
+                                          want_logits=False, top_k=top_k,
+                                          top_p=top_p)
     return toks.T, paged
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"),
+         donate_argnames=("paged",))
+def decode_chunk_paged(params: Dict, paged: PagedKVCache,
+                       tokens: jax.Array, positions: jax.Array,
+                       key: jax.Array, temperature: jax.Array,
+                       n_steps: int, cfg: ServeConfig,
+                       top_k=None, top_p=None):
+    """Paged twin of :func:`decode_chunk`: returns
+    (tokens (B, n_steps), pool, last_tokens (B,), positions (B,))."""
+    toks, paged, ftoks, fpos = _steps_impl_paged(
+        params, paged, tokens, positions, key, temperature, n_steps, cfg,
+        want_logits=False, top_k=top_k, top_p=top_p)
+    return toks.T, paged, ftoks, fpos
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("paged",))
@@ -796,10 +929,44 @@ def decode_step_paged(params: Dict, paged: PagedKVCache,
                       tokens: jax.Array, positions: jax.Array,
                       cfg: ServeConfig) -> Tuple[jax.Array, PagedKVCache]:
     """One paged decode step; returns (logits (B, V) f32, pool)."""
-    logits, paged = _steps_impl_paged(
+    logits, paged, _, _ = _steps_impl_paged(
         params, paged, tokens, positions, jax.random.key(0),
         jnp.zeros(tokens.shape, jnp.float32), 1, cfg, want_logits=True)
     return logits[0], paged
+
+
+def _paged_write_prompts(paged: PagedKVCache, pk8, pks, pv8, pvs,
+                         slots: jax.Array, lengths: jax.Array
+                         ) -> PagedKVCache:
+    """Scatter N prompts' quantized k/v into the page pool.  Prompt n's
+    token i lands in slot n's logical page ``i // page_size`` at offset
+    ``i % page_size``; padding rows/slots and unmapped pages DROP."""
+    L, N, Sp, KV, D = pk8.shape
+    page = paged.page_size
+    tpos = jnp.arange(Sp)
+    lp = jnp.minimum(tpos // page, paged.max_pages - 1)   # (Sp,)
+    sl = jnp.clip(slots, 0, paged.n_slots - 1)
+    pg = paged.page_table[sl][:, lp]                      # (N, Sp)
+    n_pages_total = paged.pool.shape[0]
+    valid = ((tpos[None] < jnp.minimum(lengths[:, None], paged.max_seq))
+             & (pg >= 0) & (slots[:, None] < paged.n_slots))
+    pg = jnp.where(valid, pg, n_pages_total)              # overruns drop
+    rows = (tpos % page)[:, None] * KV + jnp.arange(KV)[None]   # (Sp, KV)
+    pgi = pg[:, :, None]                                  # (N, Sp, 1)
+    ri = rows[None]                                       # (1, Sp, KV)
+    uk8 = pk8.transpose(1, 2, 3, 0, 4)                    # (N, Sp, KV, L, D)
+    uv8 = pv8.transpose(1, 2, 3, 0, 4)
+    uks = pks.transpose(1, 2, 3, 0)
+    uvs = pvs.transpose(1, 2, 3, 0)
+    pool = paged.pool
+    sc = paged.sc
+    pool = pool.at[pgi, 0, :, ri, :].set(uk8.astype(pool.dtype),
+                                         mode="drop")
+    pool = pool.at[pgi, 1, :, ri, :].set(uv8.astype(pool.dtype),
+                                         mode="drop")
+    sc = sc.at[pgi, 0, :, ri].set(uks, mode="drop")
+    sc = sc.at[pgi, 1, :, ri].set(uvs, mode="drop")
+    return dataclasses.replace(paged, pool=pool, sc=sc)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("paged",))
@@ -811,86 +978,31 @@ def prefill_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
     Same dense causal forward as :func:`prefill`; token i lands in the
     slot's logical page ``i // page_size`` at offset ``i % page_size``.
     Padding rows (i >= length) are dropped (out-of-range scatter)."""
-    mcfg = cfg.model
-    H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
-    Sp = tokens.shape[0]
-    page = paged.page_size
-    linear = _make_linear(cfg)
+    h, pk8, pks, pv8, pvs = _dense_forward(params, tokens[None], cfg)
+    slots = jnp.reshape(slot, (1,)).astype(jnp.int32)
+    lengths = jnp.reshape(length, (1,)).astype(jnp.int32)
+    paged = _paged_write_prompts(paged, pk8, pks, pv8, pvs, slots, lengths)
+    logits = _first_token_logits(params, h, lengths, cfg.model)
+    return logits[0], paged
 
-    h = _embed_lookup(params, tokens)
-    inv_freq = rope_freqs(mcfg)
-    pos = jnp.arange(Sp)
-    ang = pos[:, None].astype(jnp.float32) * inv_freq
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
 
-    def rope1(x):
-        x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
-        c, s = cos[:, None], sin[:, None]
-        return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
-                               axis=-1).astype(x.dtype)
-
-    causal = pos[None, :] <= pos[:, None]
-
-    def layer_step(carry, xs):
-        h, li = carry
-        (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
-         gate8, gates, up8, ups, down8, downs) = xs
-
-        x = _rms(h, attn_norm, mcfg.norm_eps)
-        q = linear(x, q8, qs).reshape(Sp, H, D)
-        k = linear(x, k8w, ksw).reshape(Sp, KV, D)
-        v = linear(x, v8w, vsw).reshape(Sp, KV, D)
-        q, k = rope1(q), rope1(k)
-
-        kq8, kqs = quantize_kv(k, cfg.kv_fmt)
-        vq8, vqs = quantize_kv(v, cfg.kv_fmt)
-
-        G = H // KV
-        qg = q.reshape(Sp, KV, G, D)
-        scores = jnp.einsum("skgd,tkd->skgt", qg.astype(jnp.float32),
-                            k.astype(jnp.float32)) / jnp.sqrt(D)
-        scores = jnp.where(causal[:, None, None, :], scores, _NEG)
-        probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("skgt,tkd->skgd", probs, v.astype(jnp.float32))
-        ctx = ctx.reshape(Sp, H * D).astype(jnp.bfloat16)
-        h = h + linear(ctx, o8, osw)
-
-        x = _rms(h, mlp_norm, mcfg.norm_eps)
-        act = jax.nn.silu(linear(x, gate8, gates).astype(
-            jnp.float32)).astype(x.dtype) * linear(x, up8, ups)
-        h = h + linear(act, down8, downs)
-        return (h, li + 1), (kq8, kqs[..., 0], vq8, vqs[..., 0])
-
-    h = h.astype(jnp.bfloat16)
-    (h, _), (pk8, pks, pv8, pvs) = jax.lax.scan(
-        layer_step, (h, jnp.int32(0)), _layer_xs(params))
-    # pk8: (L, Sp, KV, D).  Scatter each prompt token into the slot's
-    # pages; invalid (padding) rows get an out-of-range page id and drop.
-    tpos = jnp.arange(Sp)
-    lp = jnp.minimum(tpos // page, paged.max_pages - 1)
-    pg = paged.page_table[slot, lp]                       # (Sp,)
-    n_pages_total = paged.pool.shape[0]
-    valid = (tpos < jnp.minimum(length, paged.max_seq)) & (pg >= 0)
-    pg = jnp.where(valid, pg, n_pages_total)              # overruns drop
-    rows = (tpos % page)[:, None] * KV + jnp.arange(KV)[None]   # (Sp, KV)
-    uk8 = pk8.transpose(1, 2, 0, 3)                       # (Sp, KV, L, D)
-    uv8 = pv8.transpose(1, 2, 0, 3)
-    uks = pks.transpose(1, 2, 0)
-    uvs = pvs.transpose(1, 2, 0)
-    pool = paged.pool
-    sc = paged.sc
-    pool = pool.at[pg[:, None], 0, :, rows, :].set(
-        uk8.astype(pool.dtype), mode="drop")
-    pool = pool.at[pg[:, None], 1, :, rows, :].set(
-        uv8.astype(pool.dtype), mode="drop")
-    sc = sc.at[pg[:, None], 0, :, rows].set(uks, mode="drop")
-    sc = sc.at[pg[:, None], 1, :, rows].set(uvs, mode="drop")
-    paged = dataclasses.replace(paged, pool=pool, sc=sc)
-
-    h_last = jax.lax.dynamic_slice_in_dim(h, length - 1, 1, axis=0)
-    h_last = _rms(h_last, params["final_norm"], mcfg.norm_eps)
-    logits = _lm_head(params, h_last)[0]
-    return logits, paged
+@partial(jax.jit, static_argnames=("cfg",),
+         donate_argnames=("paged", "tokens", "positions"))
+def prefill_batch_paged(params: Dict, paged: PagedKVCache,
+                        prompts: jax.Array, slots: jax.Array,
+                        lengths: jax.Array, key: jax.Array,
+                        temperature: jax.Array, top_k, top_p,
+                        tokens: jax.Array, positions: jax.Array,
+                        cfg: ServeConfig):
+    """Paged twin of :func:`prefill_batch` (batched admission in one
+    dispatch).  Returns (first_tokens (N,), paged, tokens, positions)."""
+    h, pk8, pks, pv8, pvs = _dense_forward(params, prompts, cfg)
+    paged = _paged_write_prompts(paged, pk8, pks, pv8, pvs, slots, lengths)
+    logits = _first_token_logits(params, h, lengths, cfg.model)
+    first = sample_tokens(logits, key, temperature, top_k, top_p)
+    tokens = tokens.at[slots].set(first, mode="drop")
+    positions = positions.at[slots].set(lengths, mode="drop")
+    return first, paged, tokens, positions
 
 
 @partial(jax.jit, static_argnames=("cfg",))

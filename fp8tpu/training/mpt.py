@@ -175,33 +175,69 @@ def initialize(
                        master_fmt=master_fmt, emb_fmt=emb_fmt)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LossScaleState:
+    """Dynamic loss-scale carry (apex amp DynamicLossScaler semantics:
+    halve on overflow, double after ``growth_interval`` clean steps —
+    the role apex's ``scale_loss`` plays in the reference recipe,
+    main_amp.py:404-405)."""
+
+    scale: jax.Array        # () f32 current loss scale
+    good_steps: jax.Array   # () int32 consecutive finite steps
+
+
+def init_train_state(optimizer: optax.GradientTransformation, params,
+                     loss_scale: Optional[float] = 2.0 ** 12):
+    """Initial ``opt_state`` for :func:`make_train_step`: the optax state
+    wrapped with the dynamic loss-scale carry (or bare when scaling is
+    disabled with ``loss_scale=None``)."""
+    inner = optimizer.init(params)
+    if loss_scale is None:
+        return inner
+    return inner, LossScaleState(scale=jnp.float32(loss_scale),
+                                 good_steps=jnp.zeros((), jnp.int32))
+
+
 def make_train_step(
     emulator: MPTEmulator,
     optimizer: optax.GradientTransformation,
     loss_fn: Callable[..., jax.Array],
     loss_scale: Optional[float] = 2.0 ** 12,
+    growth_interval: int = 2000,
+    max_scale: float = 2.0 ** 24,
+    min_scale: float = 1.0,
 ):
     """Build a jittable train step running the full MPT pipeline.
 
     ``loss_fn(apply_fn, variables, batch)`` where apply_fn is the
     quantized forward.  Returns step(params, opt_state, batch, key) →
-    (params, opt_state, loss).
+    (params, opt_state, loss), with ``opt_state`` built by
+    :func:`init_train_state`.
 
-    ``loss_scale`` multiplies the loss before backward, so the
-    fp8/fp16-cast gradient streams (igrad/ograd/wtgrad roles) see values
-    above their flush thresholds — the role apex amp's scale_loss plays
-    in the reference recipe (main_amp.py:404-405; without it small
-    gradients flush to zero in E5M2/FP16 and training stalls once past
-    the initial large-gradient phase).  Gradients are unscaled AFTER the
-    quantized streams (matching apex O2: hooks see scaled grads, the
-    FP32 master update sees unscaled ones); a step with non-finite
-    gradients is skipped, apex-dynamic-loss-scale style.  ``None``
-    disables scaling.
+    Loss scaling is DYNAMIC (apex DynamicLossScaler semantics,
+    main_amp.py:404-405): the loss is multiplied by the carried scale
+    before backward so the fp8/fp16-cast gradient streams
+    (igrad/ograd/wtgrad roles) see values above their flush thresholds
+    (without it small gradients flush to zero in E5M2/FP16 and training
+    stalls once past the initial large-gradient phase).  Gradients are
+    unscaled AFTER the quantized streams (matching apex O2: hooks see
+    scaled grads, the FP32 master update sees unscaled ones).  On a
+    non-finite gradient the step is a TRUE skip — params, optimizer
+    moments and schedule count all stay untouched — and the scale
+    halves; after ``growth_interval`` consecutive clean steps it
+    doubles (capped at ``max_scale``).  ``loss_scale=None`` disables
+    scaling entirely (``loss_scale`` seeds the initial scale).
     """
-    scale = None if loss_scale is None else jnp.float32(loss_scale)
+    use_scale = loss_scale is not None
 
     def step(params, opt_state, batch, key):
         kf, kg, km = jax.random.split(key, 3)
+        if use_scale:
+            inner_state, ls = opt_state
+            scale = ls.scale
+        else:
+            inner_state, scale = opt_state, None
 
         def loss_of(p):
             loss = loss_fn(
@@ -221,13 +257,30 @@ def make_train_step(
              for g in jax.tree_util.tree_leaves(grads)]))
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates, new_inner = optimizer.update(grads, inner_state, params)
         new_params = optax.apply_updates(params, updates)
         new_params = emulator.post_update(new_params, km)
-        # skip the whole update (incl. master requant) on overflow
+        # TRUE skip on overflow: params AND optimizer state (moments,
+        # schedule count) revert — the update never happened.
         params = jax.tree_util.tree_map(
             lambda new, old: jnp.where(finite, new, old),
             new_params, params)
-        return params, opt_state, loss
+        inner_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old)
+            if isinstance(new, jnp.ndarray) or hasattr(new, "dtype")
+            else new,
+            new_inner, inner_state)
+        if not use_scale:
+            return params, inner_state, loss
+        good = jnp.where(finite, ls.good_steps + 1, 0)
+        grow = good >= growth_interval
+        new_scale = jnp.where(
+            finite,
+            jnp.where(grow, jnp.minimum(ls.scale * 2.0, max_scale),
+                      ls.scale),
+            jnp.maximum(ls.scale * 0.5, min_scale))
+        ls = LossScaleState(scale=new_scale,
+                            good_steps=jnp.where(grow, 0, good))
+        return params, (inner_state, ls), loss
 
     return step

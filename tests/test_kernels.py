@@ -148,3 +148,48 @@ def test_dequant_matmul_ragged_shapes(rng):
     wdeq = np.asarray(payload.astype(jnp.float32) * scales)
     expected = np.asarray(x.astype(jnp.bfloat16)).astype(np.float32) @ wdeq
     np.testing.assert_allclose(got, expected, rtol=2e-2, atol=2e-2)
+
+
+def test_qdq_matmul_hw_impl_matches_hw_reference(rng):
+    """impl="hw" (native-convert cast + bf16 fast dot, the production
+    engine path): must match hw_qdq(whole x) @ hw_qdq(whole w) up to the
+    epilogue-descale rounding-order difference (documented deviation
+    from the bitexact contract)."""
+    from fp8tpu.numerics.cast import hw_qdq
+    from fp8tpu.numerics import scaling as sc
+
+    x = jnp.asarray(rng.normal(0, 1, (32, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, (256, 128)).astype(np.float32))
+    sx = sc.per_tensor(x, "e4m3", "max")
+    sw = sc.per_channel(w, "e4m3", "max", axis=1).reshape(-1)
+    got = np.asarray(
+        qdq_matmul(x, w, fmt_x="e4m3", fmt_w="e4m3", scale_x=sx,
+                   scale_w=sw, tm=16, tn=128, tk=128, interpret=True,
+                   impl="hw"))
+    xq = hw_qdq(x, "e4m3", sx)
+    wq = hw_qdq(w, "e4m3", sw.reshape(1, -1))
+    expected = np.asarray(
+        jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST))
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
+
+
+def test_qdq_matmul_hw_e3m4_falls_back_bitexact(rng):
+    """e3m4 has no hardware dtype: impl="hw" must still produce exact
+    e3m4-grid values via the in-kernel bit pipeline (fast bf16 dot still
+    engages — the e3m4 grid is bf16-exact)."""
+    from fp8tpu.numerics import qdq
+
+    x = jnp.asarray(rng.normal(0, 1, (16, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, (128, 128)).astype(np.float32))
+    got = np.asarray(
+        qdq_matmul(x, w, fmt_x="e3m4", fmt_w="e3m4", tm=16, tn=128,
+                   tk=128, interpret=True, impl="hw"))
+    xq = qdq(x, "e3m4", RoundMode.RNE)
+    wq = qdq(w, "e3m4", RoundMode.RNE)
+    expected = np.asarray(
+        jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST))
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)

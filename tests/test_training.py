@@ -11,7 +11,8 @@ from fp8tpu.models import MLP, tiny_config, Decoder
 from fp8tpu.numerics import FORMATS, golden, RoundMode
 from fp8tpu.quant.interceptor import build_module_table
 from fp8tpu.quant.policy import LayerKind
-from fp8tpu.training import initialize, make_train_step, master_requant
+from fp8tpu.training import (init_train_state, initialize,
+                             make_train_step, master_requant)
 
 
 @pytest.fixture
@@ -35,7 +36,7 @@ def test_training_loss_decreases(mlp_setup, algo):
     opt = optax.sgd(0.1)
     step = jax.jit(make_train_step(emu, opt, _xent))
     y = jnp.arange(8) % 4
-    opt_state = opt.init(params)
+    opt_state = init_train_state(opt, params)
     losses = []
     key = jax.random.key(1)
     for i in range(30):
@@ -121,3 +122,55 @@ def test_emulator_facade_parity_methods(mlp_setup):
     assert emu3.emb_fmt == "e4m3"
     emu4 = emu.blacklist_modules("head")
     assert emu4.policy.resolve("head", LayerKind.DENSE) is None
+
+
+def test_dynamic_loss_scale_overflow_true_skip(mlp_setup):
+    """Forced overflow (VERDICT r2 next #6): params AND optimizer state
+    (Adam moments, schedule count) stay untouched, and the scale halves."""
+    m, params, x = mlp_setup
+    emu = initialize(m, params, (x,), training_algo="hybrid")
+    opt = optax.adam(0.1)
+    step = jax.jit(make_train_step(emu, opt, _xent, loss_scale=2.0 ** 12))
+    y = jnp.arange(8) % 4
+    x_bad = x.at[0, 0].set(jnp.nan)          # NaN forward → NaN grads
+    opt_state = init_train_state(opt, params)
+    p0 = jax.tree.map(np.asarray, params)
+    inner0 = jax.tree.map(np.asarray, opt_state[0])
+    params1, (inner1, ls1), _ = step(params, opt_state, (x_bad, y),
+                                     jax.random.key(0))
+    assert float(ls1.scale) == 2.0 ** 11
+    assert int(ls1.good_steps) == 0
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(params1)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    for a, b in zip(jax.tree.leaves(inner0), jax.tree.leaves(inner1)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # a second overflow halves again
+    _, (_, ls2), _ = step(params1, (inner1, ls1), (x_bad, y),
+                          jax.random.key(1))
+    assert float(ls2.scale) == 2.0 ** 10
+
+
+def test_dynamic_loss_scale_growth(mlp_setup):
+    """After growth_interval clean steps the scale doubles (capped), and
+    clean steps DO advance the optimizer state."""
+    m, params, x = mlp_setup
+    emu = initialize(m, params, (x,), training_algo="hybrid")
+    opt = optax.adam(0.1)
+    step = jax.jit(make_train_step(emu, opt, _xent, loss_scale=4.0,
+                                   growth_interval=2))
+    y = jnp.arange(8) % 4
+    opt_state = init_train_state(opt, params, loss_scale=4.0)
+    inner0 = jax.tree.map(np.asarray, opt_state[0])
+    params, opt_state, _ = step(params, opt_state, (x, y),
+                                jax.random.key(0))
+    assert float(opt_state[1].scale) == 4.0
+    assert int(opt_state[1].good_steps) == 1
+    params, opt_state, _ = step(params, opt_state, (x, y),
+                                jax.random.key(1))
+    assert float(opt_state[1].scale) == 8.0
+    assert int(opt_state[1].good_steps) == 0
+    changed = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(inner0),
+                        jax.tree.leaves(opt_state[0])))
+    assert changed

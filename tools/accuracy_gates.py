@@ -39,7 +39,7 @@ from fp8tpu.data import (markov_entropy_floor, mixed_lm_corpus,
 from fp8tpu.models import Decoder, tiny_config
 from fp8tpu.serve import ServeConfig, convert_decoder_params
 from fp8tpu.serve.model import full_logits
-from fp8tpu.training import initialize, make_train_step
+from fp8tpu.training import init_train_state, initialize, make_train_step
 
 VOCAB = 64
 SEQ = 128
@@ -102,7 +102,7 @@ def train_fp8(model, variables, train_toks, steps, lr, batch, algo):
     step = jax.jit(make_train_step(
         emulator, opt, lambda af, p, b: lm_loss(af, p, b)))
     params = variables
-    opt_state = opt.init(params)
+    opt_state = init_train_state(opt, params)
     rng = np.random.default_rng(0)
     key = jax.random.key(42)
     for i in range(steps):

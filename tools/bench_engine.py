@@ -33,21 +33,21 @@ GEN = 129          # power-of-two budget after the prefill's first token
 PROMPT = 48        # buckets to 64
 
 
-def run(chunk_size: int) -> float:
+def run(chunk_size: int, use_paged: bool = False) -> float:
     scfg = ServeConfig(model=CFG, weight_fmt="e4m3", kv_fmt="int8",
                        embed_fmt="e4m3")
     params = random_serve_params(CFG, "e4m3", embed_fmt="e4m3")
     reqs = [Request(uid=i, prompt=[(7 * i + j) % CFG.vocab_size
                                    for j in range(PROMPT)],
                     max_new_tokens=GEN) for i in range(N_REQ)]
+    kw = dict(n_slots=SLOTS, max_seq=512, chunk_size=chunk_size,
+              use_paged=use_paged)
     # warm compile pass (prefill + decode programs) on a small run
-    eng = ServingEngine(params, scfg, n_slots=SLOTS, max_seq=512,
-                        chunk_size=chunk_size)
+    eng = ServingEngine(params, scfg, **kw)
     eng.run([Request(uid=-1 - i, prompt=[1, 2, 3], max_new_tokens=GEN)
              for i in range(SLOTS)])
 
-    eng = ServingEngine(params, scfg, n_slots=SLOTS, max_seq=512,
-                        chunk_size=chunk_size)
+    eng = ServingEngine(params, scfg, **kw)
     t0 = time.perf_counter()
     out = eng.run(reqs)
     dt = time.perf_counter() - t0
@@ -62,6 +62,10 @@ def main():
         tok_s = run(c)
         res[f"chunk_{c}_tok_s"] = round(tok_s, 1)
         print(f"chunk_size={c}: {tok_s:.0f} tok/s end-to-end", flush=True)
+    paged = run(max(sizes), use_paged=True)
+    res[f"paged_chunk_{max(sizes)}_tok_s"] = round(paged, 1)
+    print(f"paged chunk_size={max(sizes)}: {paged:.0f} tok/s end-to-end",
+          flush=True)
 
     prev = {}
     if os.path.exists(OUT):
