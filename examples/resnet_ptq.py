@@ -40,7 +40,9 @@ MODEL_EXEMPT = {
 
 def get_model(name: str, num_classes: int, norm_mode: str = "bn"):
     import dataclasses
-    from fp8tpu.models.vision import (MOBILENET_EXEMPT, VGG_EXEMPT,
+    from fp8tpu.models.vision import (DENSENET_EXEMPT, INCEPTION_EXEMPT,
+                                      MOBILENET_EXEMPT, VGG_EXEMPT,
+                                      tiny_densenet, tiny_inception,
                                       tiny_mobilenet, tiny_vgg)
     if name == "tiny_vgg":
         MODEL_EXEMPT[name] = VGG_EXEMPT
@@ -48,6 +50,12 @@ def get_model(name: str, num_classes: int, norm_mode: str = "bn"):
     if name == "tiny_mobilenet":
         MODEL_EXEMPT[name] = MOBILENET_EXEMPT
         return tiny_mobilenet(num_classes)
+    if name == "tiny_inception":
+        MODEL_EXEMPT[name] = INCEPTION_EXEMPT
+        return tiny_inception(num_classes)
+    if name == "tiny_densenet":
+        MODEL_EXEMPT[name] = DENSENET_EXEMPT
+        return tiny_densenet(num_classes)
     cfgs = {
         "resnet18": ResNetConfig(stage_sizes=(2, 2, 2, 2)),
         "resnet50": ResNetConfig(stage_sizes=(3, 4, 6, 3), bottleneck=True),

@@ -4,13 +4,23 @@ encoder."""
 
 from .mlp import MLP  # noqa: F401
 from .vision import (  # noqa: F401
+    DENSENET_EXEMPT,
+    INCEPTION_EXEMPT,
     MOBILENET_EXEMPT,
     VGG_EXEMPT,
+    DenseNet,
+    DenseNetConfig,
+    Inception,
+    InceptionConfig,
     MobileNet,
     MobileNetConfig,
     VGG,
     VGGConfig,
+    densenet,
+    inception,
     mobilenet,
+    tiny_densenet,
+    tiny_inception,
     tiny_mobilenet,
     tiny_vgg,
     vgg11,

@@ -122,3 +122,139 @@ def tiny_mobilenet(num_classes: int = 10) -> MobileNet:
     return MobileNet(MobileNetConfig(
         plan=((32, 1), (64, 2), (64, 1), (128, 2)),
         stem_width=16, num_classes=num_classes))
+
+
+# ---------------------------------------------------------------------------
+# Branchy-concat topologies (VERDICT r2 next #9): the reference's sweep
+# includes inception_v3 / densenet161 / shufflenet (launch.py:14-80) —
+# multi-branch and dense-concat graphs stress the policy engine's
+# path-based resolution (exempt lists, BN-fold pairing, per-module
+# qconfigs) in ways linear stacks cannot: one module's output feeds
+# many consumers, and concatenated features mix quantized branches with
+# different calibrated ranges.
+# ---------------------------------------------------------------------------
+
+INCEPTION_EXEMPT: Tuple[str, ...] = ("conv_stem", "classifier")
+DENSENET_EXEMPT: Tuple[str, ...] = ("conv_stem", "classifier")
+
+
+@dataclasses.dataclass(frozen=True)
+class InceptionConfig:
+    # per inception block: (b1x1, b3x3_reduce, b3x3, b5x5_reduce, b5x5,
+    # pool_proj); 0-tuple marks a pool boundary
+    plan: Tuple[Tuple[int, ...], ...] = (
+        (64, 96, 128, 16, 32, 32), (128, 128, 192, 32, 96, 64), (),
+        (192, 96, 208, 16, 48, 64), (160, 112, 224, 24, 64, 64), (),
+    )
+    stem_width: int = 64
+    num_classes: int = 1000
+    norm_mode: str = "batch"
+
+
+class Inception(nn.Module):
+    """GoogLeNet-style multi-branch blocks: four parallel conv paths
+    whose outputs concatenate on the channel axis."""
+
+    cfg: InceptionConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+
+        def cbr(x, ch, k, name):
+            x = nn.Conv(ch, (k, k), use_bias=False, name=name)(x)
+            x = SwitchableNorm(ch, cfg.norm_mode, name=f"{name}_norm")(
+                x, use_running_average=not train)
+            return nn.relu(x)
+
+        x = nn.Conv(cfg.stem_width, (3, 3), (2, 2), use_bias=False,
+                    name="conv_stem")(x)
+        x = SwitchableNorm(cfg.stem_width, cfg.norm_mode,
+                           name="norm_stem")(
+            x, use_running_average=not train)
+        x = nn.relu(x)
+        bi = 0
+        for plan in cfg.plan:
+            if not plan:
+                x = nn.max_pool(x, (2, 2), (2, 2))
+                continue
+            c1, r3, c3, r5, c5, cp = plan
+            b1 = cbr(x, c1, 1, f"i{bi}_b1")
+            b3 = cbr(cbr(x, r3, 1, f"i{bi}_b3r"), c3, 3, f"i{bi}_b3")
+            b5 = cbr(cbr(x, r5, 1, f"i{bi}_b5r"), c5, 3, f"i{bi}_b5")
+            bp = cbr(nn.max_pool(x, (3, 3), (1, 1), padding="SAME"),
+                     cp, 1, f"i{bi}_bp")
+            x = jnp.concatenate([b1, b3, b5, bp], axis=-1)
+            bi += 1
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(cfg.num_classes, name="classifier")(x)
+
+
+def inception(num_classes: int = 1000, **kw) -> Inception:
+    return Inception(InceptionConfig(num_classes=num_classes, **kw))
+
+
+def tiny_inception(num_classes: int = 10) -> Inception:
+    return Inception(InceptionConfig(
+        plan=((16, 16, 24, 8, 8, 8), (), (32, 24, 48, 8, 16, 16)),
+        stem_width=16, num_classes=num_classes))
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseNetConfig:
+    # layers per dense block; growth channels appended per layer
+    blocks: Tuple[int, ...] = (6, 12, 24, 16)
+    growth: int = 32
+    stem_width: int = 64
+    num_classes: int = 1000
+    norm_mode: str = "batch"
+
+
+class DenseNet(nn.Module):
+    """DenseNet-style dense-concat blocks: every layer consumes the
+    concatenation of ALL previous features in its block, with 1x1
+    transition convs + pooling between blocks."""
+
+    cfg: DenseNetConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+
+        def cbr(x, ch, k, name):
+            x = nn.Conv(ch, (k, k), use_bias=False, name=name)(x)
+            x = SwitchableNorm(ch, cfg.norm_mode, name=f"{name}_norm")(
+                x, use_running_average=not train)
+            return nn.relu(x)
+
+        x = nn.Conv(cfg.stem_width, (3, 3), (2, 2), use_bias=False,
+                    name="conv_stem")(x)
+        x = SwitchableNorm(cfg.stem_width, cfg.norm_mode,
+                           name="norm_stem")(
+            x, use_running_average=not train)
+        x = nn.relu(x)
+        ch = cfg.stem_width
+        for b, n_layers in enumerate(cfg.blocks):
+            feats = [x]
+            for i in range(n_layers):
+                h = jnp.concatenate(feats, axis=-1)
+                h = cbr(h, cfg.growth, 3, f"d{b}_l{i}")
+                feats.append(h)
+            x = jnp.concatenate(feats, axis=-1)
+            ch = ch + n_layers * cfg.growth
+            if b != len(cfg.blocks) - 1:
+                ch = ch // 2
+                x = cbr(x, ch, 1, f"trans_{b}")
+                x = nn.avg_pool(x, (2, 2), (2, 2))
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(cfg.num_classes, name="classifier")(x)
+
+
+def densenet(num_classes: int = 1000, **kw) -> DenseNet:
+    return DenseNet(DenseNetConfig(num_classes=num_classes, **kw))
+
+
+def tiny_densenet(num_classes: int = 10) -> DenseNet:
+    return DenseNet(DenseNetConfig(blocks=(3, 4), growth=12,
+                                   stem_width=16,
+                                   num_classes=num_classes))

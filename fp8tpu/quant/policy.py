@@ -133,22 +133,28 @@ class QuantPolicy:
 # Emulator presets
 # ---------------------------------------------------------------------------
 
-def e5m2_training_policy() -> QuantPolicy:
+def e5m2_training_policy(scaled: bool = False) -> QuantPolicy:
     """'Direct' FP8 training: everything E5M2, RNE forward / stochastic
     backward (e5m2_emu.py:56-61; Mellempudi et al., arXiv:1905.12334).
     Forward RNE casts use the hardware-convert fast path (spec-exact
     single rounding; ~30x fewer HLO ops per cast than the bit-exact
     reference pipeline — training-step compile time was pathological
-    with hundreds of bit-pipeline casts in one graph)."""
-    rne = TensorQuantConfig("e5m2", "rne", cast_impl="hw")
-    sto = TensorQuantConfig("e5m2", "stochastic", cast_impl="hw")
+    with hundreds of bit-pipeline casts in one graph).
+
+    ``scaled=True`` adds per-tensor max scaling to every role (the
+    direct-recipe ablation: centring each tensor in E5M2's range before
+    the 2-mantissa-bit cast — tools/accuracy_gates.py measures its
+    effect on the convergence gap)."""
+    sc = "per-tensor" if scaled else "none"
+    rne = TensorQuantConfig("e5m2", "rne", sc, cast_impl="hw")
+    sto = TensorQuantConfig("e5m2", "stochastic", sc, cast_impl="hw")
     return QuantPolicy(
         default=ModuleQuantConfig(wt=rne, iact=rne, oact=rne,
                                   igrad=sto, ograd=sto, wtgrad=sto),
         emb=None,
         whitelist=TRAINING_WHITELIST,
         is_training=True,
-        name="e5m2",
+        name="e5m2-scaled" if scaled else "e5m2",
     )
 
 
@@ -238,6 +244,8 @@ def get_policy(dtype: str, training: bool = False) -> QuantPolicy:
     if training:
         if d in ("e5m2", "direct"):
             return e5m2_training_policy()
+        if d in ("e5m2-scaled", "direct-scaled"):
+            return e5m2_training_policy(scaled=True)
         if d == "hybrid":
             return hybrid_training_policy()
         if d in ("bfloat16", "bf16"):

@@ -41,9 +41,19 @@ from fp8tpu.serve import ServeConfig, convert_decoder_params
 from fp8tpu.serve.model import full_logits
 from fp8tpu.training import init_train_state, initialize, make_train_step
 
-VOCAB = 64
-SEQ = 128
 OUT = os.path.join(os.path.dirname(__file__), "..", "ACCURACY.json")
+
+# Model presets (VERDICT r2 next #5: scale the gates beyond toy size).
+# "large" is a ~90M-param decoder trained to convergence on a larger,
+# higher-entropy corpus; "small" keeps the fast ~7M loop for ablations.
+MODELS = {
+    "small": dict(n_layers=4, d_model=256, n_heads=8, n_kv_heads=4,
+                  d_ff=768, vocab=64, seq=128, corpus=16384,
+                  default_steps=1500),
+    "large": dict(n_layers=12, d_model=768, n_heads=12, n_kv_heads=4,
+                  d_ff=2304, vocab=256, seq=256, corpus=32768,
+                  default_steps=3000),
+}
 
 
 def lm_loss(apply_fn, variables, batch):
@@ -92,11 +102,12 @@ def train_bf16(model, variables, train_toks, steps, lr, batch, log=True):
     return {"params": params}
 
 
-def train_fp8(model, variables, train_toks, steps, lr, batch, algo):
+def train_fp8(model, variables, train_toks, steps, lr, batch, algo,
+              master_fmt="fp16"):
     """FP8 mixed-precision training via the MPT pipeline."""
     emulator = initialize(model, variables,
                           (jnp.asarray(train_toks[:1, :-1]),),
-                          training_algo=algo, master_fmt="fp16")
+                          training_algo=algo, master_fmt=master_fmt)
     opt = optax.adamw(optax.cosine_decay_schedule(lr, steps), b2=0.98,
                       weight_decay=0.01)
     step = jax.jit(make_train_step(
@@ -116,28 +127,29 @@ def train_fp8(model, variables, train_toks, steps, lr, batch, algo):
     return params
 
 
-def lm_gates(steps, batch, lr, results):
-    cfg = tiny_config(n_layers=4, d_model=256, n_heads=8, n_kv_heads=4,
-                      d_ff=768, vocab_size=VOCAB, max_seq_len=SEQ)
+def _build_lm(model_name):
+    m = MODELS[model_name]
+    cfg = tiny_config(n_layers=m["n_layers"], d_model=m["d_model"],
+                      n_heads=m["n_heads"], n_kv_heads=m["n_kv_heads"],
+                      d_ff=m["d_ff"], vocab_size=m["vocab"],
+                      max_seq_len=m["seq"])
     model = Decoder(cfg)
     # enough data that the run stays under ~3 epochs: an overfit model
     # turns quantization noise into (anti-)regularization and makes
     # ΔPPL meaningless
-    train_toks = mixed_lm_corpus(16384, SEQ, VOCAB, seed=0)
-    eval_toks = mixed_lm_corpus(128, SEQ, VOCAB, seed=777)
-    floor = markov_entropy_floor(VOCAB)
-    print(f"[lm] corpus entropy floor (markov half): ppl ~{floor:.2f}")
+    train_toks = mixed_lm_corpus(m["corpus"], m["seq"], m["vocab"], seed=0)
+    eval_toks = mixed_lm_corpus(128, m["seq"], m["vocab"], seed=777)
+    return cfg, model, train_toks, eval_toks
 
-    variables = model.init(jax.random.key(1),
-                           jnp.asarray(train_toks[:1, :-1]))
+
+def _trained_baseline(model_name, model, variables, train_toks, steps,
+                      lr, batch):
+    """bf16 baseline weights, checkpoint-cached per (model, steps)."""
     ckpt_dir = os.path.join(os.path.dirname(__file__), "..",
-                            ".cache_accuracy")
+                            f".cache_accuracy_{model_name}")
     from fp8tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
-    # NOTE: the cache key is the step count only — delete .cache_accuracy
-    # after changing the model config, corpus, or training recipe.
-    reuse = os.environ.get("ACC_REUSE") == "1"
     trained = None
-    if reuse:
+    if os.environ.get("ACC_REUSE") == "1":
         try:
             trained = restore_checkpoint(
                 ckpt_dir, steps, {"params": variables})["state"]["params"]
@@ -146,17 +158,39 @@ def lm_gates(steps, batch, lr, results):
             trained = None
     if trained is None:
         t0 = time.time()
-        trained = train_bf16(model, variables, train_toks, steps, lr, batch)
+        trained = train_bf16(model, variables, train_toks, steps, lr,
+                             batch)
         print(f"[lm] bf16 training {time.time()-t0:.0f}s")
         try:
             save_checkpoint(ckpt_dir, steps, trained)
         except Exception as e:
             print("[lm] checkpoint save skipped:", e)
+    return trained
+
+
+def lm_gates(steps, batch, lr, results, model_name="small"):
+    m = MODELS[model_name]
+    cfg, model, train_toks, eval_toks = _build_lm(model_name)
+    n_params = sum(np.prod(s.shape) for s in jax.tree.leaves(
+        jax.eval_shape(lambda: model.init(
+            jax.random.key(1), jnp.asarray(train_toks[:1, :-1])))))
+    floor = markov_entropy_floor(m["vocab"])
+    print(f"[lm] model={model_name} ({n_params/1e6:.1f}M params) "
+          f"corpus entropy floor (markov half): ppl ~{floor:.2f}")
+
+    variables = model.init(jax.random.key(1),
+                           jnp.asarray(train_toks[:1, :-1]))
+    # NOTE: the cache key is (model_name, step count) — delete
+    # .cache_accuracy_* after changing the corpus or training recipe.
+    trained = _trained_baseline(model_name, model, variables, train_toks,
+                                steps, lr, batch)
 
     base_apply = jax.jit(lambda t: model.apply(trained, t))
     base = ppl_of(base_apply, eval_toks)
     prev_training = results.get("lm", {}).get("training")
-    results["lm"] = {"entropy_floor_markov": round(floor, 3),
+    results["lm"] = {"model": model_name,
+                     "params_m": round(float(n_params) / 1e6, 1),
+                     "entropy_floor_markov": round(floor, 3),
                      "fp32_ppl": round(base, 4), "policies": {}}
     if prev_training:
         results["lm"]["training"] = prev_training
@@ -217,6 +251,34 @@ def lm_gates(steps, batch, lr, results):
         results["lm"]["training"][f"{algo}_gap"] = round(p - base, 4)
         print(f"[lm] {algo} FP8-trained ppl {p:.4f} "
               f"(gap {p-base:+.4f}, {time.time()-t0:.0f}s)")
+
+
+def direct_recipe_gates(steps, batch, lr, results, model_name="small"):
+    """Direct-recipe ablation (VERDICT r2 next #5: why does all-E5M2
+    need >1x budget for parity?).  Same init, same budget, four recipes:
+    {fp16, fp32} master x {unscaled, per-tensor-scaled} E5M2 casts —
+    against the cached bf16 baseline."""
+    m = MODELS[model_name]
+    cfg, model, train_toks, eval_toks = _build_lm(model_name)
+    variables = model.init(jax.random.key(1),
+                           jnp.asarray(train_toks[:1, :-1]))
+    trained = _trained_baseline(model_name, model, variables, train_toks,
+                                steps, lr, batch)
+    base = ppl_of(jax.jit(lambda t: model.apply(trained, t)), eval_toks)
+    out = {"bf16_ppl": round(base, 4), "model": model_name}
+    for algo, master in (("direct", "fp16"), ("direct", "fp32"),
+                         ("direct-scaled", "fp16"),
+                         ("direct-scaled", "fp32")):
+        t0 = time.time()
+        tp = train_fp8(model, variables, train_toks, steps, lr, batch,
+                       algo, master_fmt=master)
+        p = ppl_of(jax.jit(lambda t: model.apply(tp, t)), eval_toks)
+        tag = f"{algo}_{master}"
+        out[f"{tag}_ppl"] = round(p, 4)
+        out[f"{tag}_gap"] = round(p - base, 4)
+        print(f"[direct] {tag:22s} ppl {p:.4f} (gap {p-base:+.4f}, "
+              f"{time.time()-t0:.0f}s)")
+    results["direct_recipe"] = out
 
 
 def conv_gates(steps, results):
@@ -309,14 +371,19 @@ def conv_gates(steps, results):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="defaults to the model preset's budget")
+    ap.add_argument("--model", choices=sorted(MODELS), default="small")
     ap.add_argument("--conv_steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--direct_ablation", action="store_true",
+                    help="run the 4-recipe direct-training ablation")
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args()
+    steps = args.steps or MODELS[args.model]["default_steps"]
 
-    results = {"steps": args.steps, "backend": jax.default_backend()}
+    results = {"steps": steps, "backend": jax.default_backend()}
     # merge over a previous run so skipped sections keep their numbers
     if os.path.exists(args.out):
         try:
@@ -325,7 +392,11 @@ def main():
             results = {**prev, **results}
         except Exception:
             pass
-    lm_gates(args.steps, args.batch, args.lr, results)
+    if os.environ.get("ACC_SKIP_LM") != "1":
+        lm_gates(steps, args.batch, args.lr, results, args.model)
+    if args.direct_ablation:
+        direct_recipe_gates(steps, args.batch, args.lr, results,
+                            args.model)
     if os.environ.get("ACC_SKIP_CONV") != "1":
         conv_gates(args.conv_steps, results)
 

@@ -42,9 +42,11 @@ def run(chunk_size: int, use_paged: bool = False) -> float:
                     max_new_tokens=GEN) for i in range(N_REQ)]
     kw = dict(n_slots=SLOTS, max_seq=512, chunk_size=chunk_size,
               use_paged=use_paged)
-    # warm compile pass (prefill + decode programs) on a small run
+    # warm compile pass (prefill + decode programs): prompts in the SAME
+    # length bucket as the measured run, so the measurement is
+    # steady-state throughput, not remote-compile time
     eng = ServingEngine(params, scfg, **kw)
-    eng.run([Request(uid=-1 - i, prompt=[1, 2, 3], max_new_tokens=GEN)
+    eng.run([Request(uid=-1 - i, prompt=[3] * PROMPT, max_new_tokens=GEN)
              for i in range(SLOTS)])
 
     eng = ServingEngine(params, scfg, **kw)

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the ≥85% multi-host target
+(BASELINE.md north star; VERDICT r2 next #7).
+
+Two artifacts, neither of which needs multi-chip hardware:
+
+1. **HLO structural check** — lowers the overlapped row-parallel
+   q-matmul (parallel/tp_matmul.py) on a virtual 8-device mesh and
+   asserts the compiled module contains one ``reduce-scatter`` /
+   ``all-reduce`` PER CHUNK, each consuming its own chunk's dot (no
+   ``concatenate`` feeding a single tail collective).  This is the
+   structure that lets the TPU runtime hide each chunk's ICI transfer
+   behind the next chunk's MXU work; a fused tail collective cannot
+   overlap anything.
+
+2. **Analytic ICI/DCN projection** — models per-chunk MXU time vs
+   collective time at flagship shapes from public v5e figures and
+   prints projected scaling efficiency for TP widths and host counts,
+   next to the ≥85% target.
+
+Writes PERF_EXTRAS.json["scaling"].  Run anywhere:
+    python tools/scaling_overlap.py
+"""
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+from fp8tpu.kernels.qmatmul import quantize_weights  # noqa: E402
+from fp8tpu.parallel.tp_matmul import row_parallel_qmatmul  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "PERF_EXTRAS.json")
+
+# -- public v5e machine model (one chip) ------------------------------------
+MXU_BF16_FLOPS = 197e12       # peak bf16
+MXU_MFU = 0.25                # measured dense-dot MFU on this chip
+                              # (PERF_EXTRAS "qdq_matmul" bf16_dot_mfu)
+HBM_GBPS = 819e9
+# v5e ICI: 1600 Gbps aggregate per chip over 4 links -> 400 Gbps/link;
+# ~45 GB/s achievable per link direction (public spec, derated ~10%).
+ICI_GBPS = 45e9
+# DCN per host (8 chips share the host NICs): ~25 GB/s achievable.
+DCN_GBPS = 25e9
+
+
+def hlo_overlap_check(chunks: int = 4) -> dict:
+    """Compile the overlapped row-parallel matmul and assert the
+    per-chunk collective structure survives XLA optimization."""
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devs).reshape(8), ("model",))
+    B, K, N = 16, 512, 512
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    w8, s = quantize_weights(
+        jnp.asarray(rng.standard_normal((K, N)) * 0.1, jnp.float32),
+        "e4m3", axis=-1)
+
+    def f(x, w8, s):
+        return row_parallel_qmatmul(x, w8, s.reshape(-1), mesh,
+                                    overlap_chunks=chunks, scatter=True)
+
+    txt = jax.jit(f).lower(x, w8, s).compile().as_text()
+    # Count collective instructions (psum_scatter lowers to
+    # reduce-scatter, possibly all-reduce+slice on some backends).
+    rs_lines = [ln for ln in txt.splitlines()
+                if re.search(r"=\s*\S*\s*(reduce-scatter|all-reduce)\(",
+                             ln)]
+    n_coll = len(rs_lines)
+    # No collective may consume a concatenation of chunk results — that
+    # would be the fused tail reduction that cannot overlap.
+    concat_fed = []
+    for ln in rs_lines:
+        ops = re.findall(r"\(([^)]*)\)", ln)
+        if ops and "concatenate" in ops[0]:
+            concat_fed.append(ln.strip())
+    n_dots = len([ln for ln in txt.splitlines() if " = " in ln
+                  and ("dot(" in ln or "dot-general" in ln
+                       or re.search(r"=\s*\S+\s+dot\b", ln))])
+    ok = (n_coll >= chunks) and not concat_fed
+    res = {"chunks": chunks, "collectives_found": n_coll,
+           "concat_fed_collectives": len(concat_fed),
+           "per_chunk_collectives": ok}
+    print(f"[hlo] chunks={chunks}: {n_coll} collective ops, "
+          f"{len(concat_fed)} fed by concatenate -> "
+          f"{'OK (per-chunk, overlappable)' if ok else 'FUSED TAIL'}")
+    assert ok, (n_coll, concat_fed)
+    return res
+
+
+def project_tp(B, K, N, t, chunks, wbytes=1, abytes=2):
+    """Projected step time of the overlapped row-parallel matmul on a
+    t-wide ICI ring: per-chunk MXU time vs per-chunk reduce-scatter
+    time; overlap hides the smaller behind the larger, leaving one
+    pipeline fill + drain."""
+    flops = 2 * B * K * N / t                 # per shard
+    # decode shapes are HBM-bound: take the max of MXU and weight-stream
+    t_mxu = flops / (MXU_BF16_FLOPS * MXU_MFU)
+    t_hbm = (K * N / t * wbytes) / HBM_GBPS
+    t_comp = max(t_mxu, t_hbm)
+    csz = N // chunks
+    # ring reduce-scatter of the f32 partial chunk: (t-1)/t of the bytes
+    # cross each link; bidirectional ring -> 2 directions usable.
+    v = B * csz * 4
+    t_comm_chunk = v * (t - 1) / t / (2 * ICI_GBPS)
+    t_comp_chunk = t_comp / chunks
+    steady = max(t_comp_chunk, t_comm_chunk) * (chunks - 1)
+    total = t_comp_chunk + steady + t_comm_chunk
+    eff = t_comp / total
+    return eff, t_comp, total
+
+
+def project_dp_hosts(n_hosts, params_bytes, step_flops, per_host_chips=8):
+    """Projected multi-host data-parallel efficiency: per-step gradient
+    all-reduce over DCN overlapped with the backward pass (the backward
+    is ~2/3 of step flops; its tail cannot hide the final bucket)."""
+    agg = MXU_BF16_FLOPS * MXU_MFU * per_host_chips
+    t_step = step_flops / agg
+    v = params_bytes * 2 * (n_hosts - 1) / n_hosts   # bf16 grads, ring
+    t_ar = v / DCN_GBPS
+    t_bwd = t_step * 2 / 3
+    overlap_hidden = min(t_ar, t_bwd * 0.9)          # 90% of bwd usable
+    total = t_step + (t_ar - overlap_hidden)
+    return t_step / total
+
+
+def main():
+    results = {}
+    results["hlo"] = hlo_overlap_check(4)
+
+    # TP decode MLP at flagship 3B shapes (row-parallel down-proj)
+    tp = {}
+    for t in (4, 8):
+        eff, _, _ = project_tp(B=64, K=11008 // 1, N=4096, t=t, chunks=4)
+        tp[f"tp{t}_decode_mlp_eff"] = round(eff, 3)
+        print(f"[tp] t={t} overlapped row-parallel decode MLP: "
+              f"projected efficiency {eff:.1%}")
+    results["tp_projection"] = tp
+
+    # multi-host FP8 training of the 3B model (DP over DCN)
+    params = 3.0e9
+    step_flops = 6 * params * 64 * 512          # B=64, S=512 per host
+    dp = {}
+    for n in (2, 4, 8, 16):
+        eff = project_dp_hosts(n, params_bytes=params, step_flops=step_flops)
+        dp[f"hosts{n}_train_eff"] = round(eff, 3)
+        print(f"[dp] {n} hosts FP8-grad all-reduce over DCN: "
+              f"projected efficiency {eff:.1%} (target >= 85%)")
+    results["dp_projection"] = dp
+    results["assumptions"] = {
+        "mxu_bf16_flops": MXU_BF16_FLOPS, "mxu_mfu": MXU_MFU,
+        "hbm_gbps": HBM_GBPS, "ici_gbps_per_link_dir": ICI_GBPS,
+        "dcn_gbps_per_host": DCN_GBPS,
+        "note": "fp8 gradient streams halve the all-reduce bytes vs f32; "
+                "bf16 used here as the conservative payload"}
+
+    prev = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f)
+    prev["scaling"] = results
+    with open(OUT, "w") as f:
+        json.dump(prev, f, indent=1)
+    print("wrote", os.path.abspath(OUT))
+
+
+if __name__ == "__main__":
+    main()
