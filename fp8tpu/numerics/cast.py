@@ -256,6 +256,54 @@ def _cast_float16(x, mode, daz, random_bits):
     return f16_bits_to_f32((h & jnp.uint32(0xFFFF)).astype(jnp.int32))
 
 
+def _cast_e5m2_noinf(x, scale):
+    """E5M2 noINF (exponent-offset-16, inf/NaN reclaimed) — jittable
+    twin of golden.cast_e5m2_noinf; bit-exact incl. the reference's
+    wrap/sign quirks (fpemu_impl.cpp:460-535)."""
+    scale, inv = _prep_scale(scale, x)
+    h = _to_f16_bits(x, scale)
+    naninf = (h & 0x7C00) == 0x7C00
+    tie = ((h & 0x0100) == 0x0100).astype(jnp.int32)
+    enc = ((((h & 0x7C00) >> 10) + 1) << 10) | (h & 0x83FF)
+    enc = jnp.where(~naninf, enc + 0x7F + tie, enc) & 0xFFFF
+    sat = (h & 0x7FFF) > 0x7F00
+    enc = jnp.where(sat, (enc & 0x8000) | 0x7F00, enc)
+    enc = jnp.where(naninf, 0x8000, enc)
+    d = ((enc >> 8) & 0xFF) << 8
+    dexp = ((((d & 0x7C00) >> 10) - 1) << 10) & 0xFFFF
+    out = (dexp | (d & 0x83FF)) & 0xFFFF
+    out = jnp.where(d == 0x8000, 0x7C00, out)
+    return _from_f16_bits(out, inv)
+
+
+def _cast_e5m2_flex(x, scale):
+    """E5M2 flex-denormal (f32-domain single rounding) — jittable twin
+    of golden.cast_e5m2_flex (fpemu_impl.cpp:537-593; the reference's
+    unused ``scale`` argument is replicated as a no-op)."""
+    del scale
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    expf = u & jnp.uint32(0x7F800000)
+    naninf = expf == jnp.uint32(0x7F800000)
+    tie = ((u & jnp.uint32(0x00200000)) == jnp.uint32(0x00200000))
+    zflush = expf < jnp.uint32(0x37800000)
+    denorm = expf < jnp.uint32(0x38800000)
+    sign = u & jnp.uint32(0x80000000)
+    urne = jnp.where(~naninf,
+                     u + jnp.uint32(0xFFFFF) + tie.astype(jnp.uint32), u)
+    exp = ((urne & jnp.uint32(0x7F800000)) >> 23).astype(jnp.int32) - 127
+    mant = (urne & jnp.uint32(0x7FFFFF)).astype(jnp.int32)
+    shft = -15 - exp
+    rshft = jnp.where(denorm, 21 + shft, 21)
+    lshft = jnp.where(denorm, 8 + shft, 8)
+    mant2 = jnp.where(
+        rshft < 24,
+        (mant >> jnp.clip(rshft, 0, 31)) << jnp.clip(lshft, 0, 31), 0)
+    out = (mant2 | (((exp + 15) << 10) & 0xFFFF)
+           | jnp.where(sign != 0, 0x8000, 0)) & 0xFFFF
+    out = jnp.where(zflush, 0, out)
+    return f16_bits_to_f32(out)
+
+
 def _cast_fp4(x, scale):
     scale, inv = _prep_scale(scale, x)
     f = x.astype(jnp.float32) * scale
@@ -291,15 +339,28 @@ HW_DTYPES = {"e4m3": jnp.float8_e4m3fn, "e5m2": jnp.float8_e5m2,
 
 
 def hw_qdq(x, fmt_name: str, scale, descale: bool = True):
-    """RNE fake-quant via the native convert: clip (for saturating
-    formats) + one f32→dtype→f32 round trip.  With ``descale=False``
-    returns the SCALED grid values (exactly representable in bf16 for
-    every mant_bits<=7 format — the fused matmul path contracts those on
-    the MXU and applies 1/scale in the epilogue)."""
+    """RNE fake-quant via the native convert: clip + one f32→dtype→f32
+    round trip.  With ``descale=False`` returns the SCALED grid values
+    (exactly representable in bf16 for every mant_bits<=7 format — the
+    fused matmul path contracts those on the MXU and applies 1/scale in
+    the epilogue).
+
+    Finite out-of-range values SATURATE to ±max_normal for every format
+    — matching the reference kernels (its e5m2 path saturates at 57344,
+    fpemu_impl.cpp:711-763) and hw_sr; only a true ±inf after scaling
+    passes through on has_inf formats, and NaN stays NaN.  (Without the
+    finite clip, the reference's own scale-clamp quirk — raw scales
+    above 3.275e4 clamp UP to 6.55e4, qutils.py:280-287 — pushes
+    near-amax e5m2 values past 61440 and the native convert returns inf,
+    which then poisons training; found via the direct-scaled recipe
+    ablation, NOTES r3.)"""
     fmt = FORMATS[fmt_name]
     xf = x.astype(jnp.float32) * scale
-    if not fmt.has_inf:          # e4m3: saturate instead of NaN overflow
-        xf = jnp.clip(xf, -fmt.max_normal, fmt.max_normal)
+    clipped = jnp.clip(xf, -fmt.max_normal, fmt.max_normal)  # NaN → NaN
+    if fmt.has_inf:
+        xf = jnp.where(jnp.isinf(xf), xf, clipped)
+    else:
+        xf = clipped
     y = xf.astype(HW_DTYPES[fmt_name]).astype(jnp.float32)
     return y / scale if descale else y
 
@@ -382,6 +443,16 @@ def cast_array(x, scale, random_bits, fmt_name: str, mode: RoundMode,
                daz: bool = False):
     """Unjitted cast core: traceable inside jit AND inside Pallas kernel
     bodies (the TPU kernels reuse this exact bit pipeline in-register)."""
+    if fmt_name == "e5m2_noinf":
+        if mode != RoundMode.RNE:
+            raise ValueError("e5m2_noinf implements RNE only "
+                             "(fpemu_impl.cpp:460-535)")
+        return _cast_e5m2_noinf(x, scale)
+    if fmt_name == "e5m2_flex":
+        if mode != RoundMode.RNE:
+            raise ValueError("e5m2_flex implements RNE only "
+                             "(fpemu_impl.cpp:537-593)")
+        return _cast_e5m2_flex(x, scale)
     fmt = FORMATS[fmt_name]
     if fmt_name == "e5m2":
         return _cast_e5m2(x, mode, scale, daz, random_bits)
@@ -437,7 +508,12 @@ def qdq_mode_string(
     key: Optional[jax.Array] = None,
     random_bits: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Reference-ABI entry point (mode strings like ``E5M2_DAZ_RNE``)."""
+    """Reference-ABI entry point (mode strings like ``E5M2_DAZ_RNE``;
+    plus ``E5M2_NOINF_RNE`` / ``E5M2_FLEX_RNE`` for the reference's
+    out-of-ABI L0 variants, fpemu_impl.cpp:460-593)."""
+    ml = mode.lower()
+    if ml in ("e5m2_noinf_rne", "e5m2_flex_rne"):
+        return cast_array(x, scale, None, ml[:-4], RoundMode.RNE)
     fmt, rmode, daz = parse_mode_string(mode)
     return qdq(x, fmt, rmode, scale, daz, key, random_bits)
 

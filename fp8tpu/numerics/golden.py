@@ -139,6 +139,82 @@ def cast_e5m2(
     return _from_f16_bits(h, 1.0 / np.float32(scale))
 
 
+def cast_e5m2_noinf(x: np.ndarray, scale: float = 1.0) -> np.ndarray:
+    """E5M2 "noINF" variant (fpemu_impl.cpp:460-535): exponent offset 16
+    with the inf/NaN codes reclaimed as ordinary values.
+
+    Bit-faithful to the reference intrinsics, including their quirks:
+    the e5m2 payload is built in fp16 bits with exponent field +1
+    (bias 16), RNE-rounded to the 2-bit mantissa with carries allowed to
+    ripple through the exponent INTO the sign (so +65504-class fp16
+    values wrap to the 0x80 "inf" code → +inf, and their negatives wrap
+    to byte 0x00 → +0); every input NaN/±inf maps to the single
+    reclaimed code, which decodes as +inf (signs lost); decode of a
+    0x00..0x03 byte with the -1 exponent field yields the 0xFC00-family
+    patterns (-inf/-NaN) — replicated as-is.  RNE only (the reference
+    implements no other rounding for this variant) and never reachable
+    from its own mode-string dispatch (fpemu_impl.cpp:1866-2009); it is
+    exposed here as mode string ``E5M2_NOINF_RNE`` for L0 parity."""
+    h = _to_f16_bits(x, scale)
+    naninf = (h & 0x7C00) == 0x7C00
+    tie = ((h & 0x0100) == 0x0100).astype(np.int32)
+    # encode: exponent field + 1 (offset-16 bias), sign+mantissa kept
+    enc = ((((h & 0x7C00) >> 10) + 1) << 10) | (h & 0x83FF)
+    enc = np.where(~naninf, enc + 0x7F + tie, enc) & 0xFFFF
+    # reference "saturation" mask — unreachable for finite fp16 inputs
+    # (compares the bias-15 pattern against a NaN-range constant), kept
+    # for bit parity
+    sat = (h & 0x7FFF) > 0x7F00
+    enc = np.where(sat, (enc & 0x8000) | 0x7F00, enc)
+    enc = np.where(naninf, 0x8000, enc)
+    byte = (enc >> 8) & 0xFF
+    # decode (fpemu_impl.cpp:496-510): 0x80 is the reclaimed inf code
+    d = (byte << 8) & 0xFFFF
+    dexp = (((((d & 0x7C00) >> 10) - 1) << 10)) & 0xFFFF
+    out = (dexp | (d & 0x83FF)) & 0xFFFF
+    out = np.where(d == 0x8000, 0x7C00, out)
+    return _from_f16_bits(out, 1.0 / np.float32(scale))
+
+
+def cast_e5m2_flex(x: np.ndarray, scale: float = 1.0) -> np.ndarray:
+    """E5M2 "flex"-denormal variant (fpemu_impl.cpp:537-593): a single
+    f32-domain rounding (no via-fp16 double round) with flexible
+    subnormal handling — RNE-add on the f32 pattern keeping 2 mantissa
+    bits, denormal range (|x| < 2^-14) mantissa truncated on the shifted
+    grid WITHOUT re-adding the implicit leading bit, flush below 2^-16.
+
+    Bit-faithful quirks preserved: the ``scale`` argument exists in the
+    reference's signature but is never applied in its body (replicated);
+    there is no overflow saturation (the commented-out ovflow mask) — an
+    exponent >= 16 wraps into the fp16 inf/NaN field; exp == -16 inputs
+    survive the flush test and build a -1 exponent field (inf-family
+    patterns).  RNE only; unreachable from the reference's mode-string
+    dispatch; exposed as ``E5M2_FLEX_RNE``."""
+    del scale  # the reference intrinsic takes but never uses it
+    u = np.asarray(x, np.float32).view(np.uint32).astype(np.int64)
+    expf = u & 0x7F800000
+    naninf = expf == 0x7F800000
+    tie = ((u & 0x00200000) == 0x00200000).astype(np.int64)
+    zflush = expf < 0x37800000                 # |x| < 2^-16
+    denorm = expf < 0x38800000                 # |x| < 2^-14
+    sign = u & 0x80000000
+    urne = np.where(~naninf, u + 0xFFFFF + tie, u)
+    exp = ((urne & 0x7F800000) >> 23) - 127
+    mant = urne & 0x7FFFFF
+    shft = -15 - exp
+    rshft = np.where(denorm, 21 + shft, 21)
+    lshft = np.where(denorm, 8 + shft, 8)
+    # AVX512 variable shifts yield 0 for counts >= 32; numpy needs them
+    # clipped (the result is already 0 whenever the clip engages)
+    mant2 = np.where(rshft < 24,
+                     (mant >> np.clip(rshft, 0, 63))
+                     << np.clip(lshft, 0, 63), 0)
+    out = (mant2 | (((exp + 15) << 10) & 0xFFFF)
+           | np.where(sign != 0, 0x8000, 0)) & 0xFFFF
+    out = np.where(zflush, 0, out)
+    return _from_f16_bits(out.astype(np.int32), np.float32(1.0))
+
+
 def _cast_rebias(
     x: np.ndarray,
     fmt: FPFormat,
@@ -382,7 +458,14 @@ def cast_mode_string(
     block_size: int = 1,
 ) -> np.ndarray:
     """Reference-ABI entry point taking mode strings like ``E4M3_RNE``
-    (fpemu_forward, fpemu_impl.cpp:2013-2028)."""
+    (fpemu_forward, fpemu_impl.cpp:2013-2028).  ``E5M2_NOINF_RNE`` /
+    ``E5M2_FLEX_RNE`` name the reference's out-of-ABI L0 variants
+    (fpemu_impl.cpp:460-593)."""
+    ml = mode.lower()
+    if ml == "e5m2_noinf_rne":
+        return cast_e5m2_noinf(x, scale)
+    if ml == "e5m2_flex_rne":
+        return cast_e5m2_flex(x, scale)
     fmt, rmode, daz = parse_mode_string(mode)
     if block_norm:
         return cast_blocked(x, fmt, rmode, block_size, daz, random_bits)

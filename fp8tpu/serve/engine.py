@@ -201,12 +201,18 @@ class ServingEngine:
     def _pick_chunk(self) -> int:
         """Power-of-two chunk covering the LONGEST remaining budget
         (capped at chunk_size).  Slots finishing earlier are parked on
-        device; their surplus tokens are discarded at reconciliation."""
+        device; their surplus tokens are discarded at reconciliation.
+        With ring_flush set, chunks round up to a multiple of it (the
+        flush slab's head-alignment contract, serve/model.py)."""
         tgt = max((self._rem_est(i) for i in range(self.n_slots)),
                   default=0)
         if tgt <= 0:
             return 0
-        return min(_pow2ceil(tgt), _pow2ceil(self.chunk_size))
+        chunk = min(_pow2ceil(tgt), _pow2ceil(self.chunk_size))
+        w = getattr(self.cfg, "ring_flush", 0)
+        if w and w > 1 and not self.use_paged:
+            chunk = max(chunk, _pow2ceil(w))
+        return chunk
 
     def _retire(self, i: int):
         st = self.slots[i]

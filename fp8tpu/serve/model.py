@@ -64,6 +64,15 @@ class ServeConfig:
     # the bf16 twin passes the ≤0.1 gate with grouped scales
     # (ACCURACY.json) where per-channel-only sat at +0.19.
     int4_group: Optional[int] = 128
+    # Ring-write batching: 0 writes each step's k/v row directly (one
+    # leading-index DUS per step — XLA RMWs every tile containing the
+    # row, ~bytes/16 per step since S sits in the sublane tile).  W > 1
+    # collects W steps in a small side buffer (re-scored against each
+    # new query — exact) and flushes one W-row slab per W steps,
+    # amortizing the RMW.  Requires decode chunk lengths divisible by W,
+    # max_seq % W == 0, and a W-aligned head (the engine and a head-0
+    # start guarantee this).
+    ring_flush: int = 0
     # Ring-write implementation.  "xla" (dynamic_update_slice) is the
     # default: with the ring structure (single leading-index write per
     # step) XLA updates the carry in place.  "pallas" routes through the
@@ -331,14 +340,19 @@ def _layer_xs(params):
 
 
 def _attend_ring(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs, head, lens,
-                 cfg: DecoderConfig):
+                 cfg: DecoderConfig,
+                 sk8=None, sks=None, sv8=None, svs=None, w=None):
     """Flash-style decode attention: ring-cached prefix + fresh token.
 
     q: (B,H,D) bf16 (the 1/sqrt(D) factor is applied here);
     fresh kq8/vq8: (B,KV,D) with scales kqs/vqs (B,KV);
     ring k8/v8: (S, B*KV, D) with scales ks/vs (S, B*KV);
-    head: () int32 next write row; lens: (B,) valid lengths.
-    Unnormalized partials for both parts are combined and divided ONCE
+    head: () int32 next write row; lens: (B,) valid RING lengths.
+    Optional side buffer sk8/sv8 (W, B*KV, D) with scales (W, B*KV),
+    rows j < ``w`` valid: the last ``w`` decoded tokens not yet flushed
+    to the ring (ServeConfig.ring_flush) — re-read and re-scored every
+    step, which is exact (per-token K/V are query-independent).
+    Unnormalized partials for all parts are combined and divided ONCE
     on the (B,KV,G,D) context.
     """
     B, H, D = q.shape
@@ -363,7 +377,19 @@ def _attend_ring(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs, head, lens,
         preferred_element_type=jnp.float32,
     ) * kqs[:, :, None]                                     # (B,KV,G)
 
-    m = jnp.maximum(jnp.max(scores, axis=-1), score_self)
+    if sk8 is not None:
+        W = sk8.shape[0]
+        sscores = jnp.einsum(
+            "xgd,sxd->xgs", qf, sk8.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, KV, G, W) * sks.T.reshape(B, KV, 1, W)
+        sscores = jnp.where((jnp.arange(W) < w)[None, None, None],
+                            sscores, _NEG)
+        m = jnp.maximum(jnp.maximum(jnp.max(scores, axis=-1),
+                                    jnp.max(sscores, axis=-1)), score_self)
+    else:
+        m = jnp.maximum(jnp.max(scores, axis=-1), score_self)
+
     pc = jnp.exp(scores - m[..., None])
     ps = jnp.exp(score_self - m)
     l = pc.sum(-1) + ps
@@ -374,6 +400,16 @@ def _attend_ring(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs, head, lens,
         preferred_element_type=jnp.float32).reshape(B, KV, G, D)
     ctx = ctx + ((ps * vqs[:, :, None])[..., None]
                  * vq8.astype(jnp.float32)[:, :, None, :])
+
+    if sk8 is not None:
+        spc = jnp.exp(sscores - m[..., None])
+        l = l + spc.sum(-1)
+        spcs = (spc * svs.T.reshape(B, KV, 1, W)).astype(q.dtype)
+        sctx = jnp.einsum(
+            "xgs,sxd->xgd", spcs.reshape(BK, G, W), sv8.astype(q.dtype),
+            preferred_element_type=jnp.float32).reshape(B, KV, G, D)
+        ctx = ctx + sctx
+
     ctx = ctx / l[..., None]
     return ctx.reshape(B, H * D).astype(q.dtype)
 
@@ -504,9 +540,143 @@ def _steps_impl(params: Dict, ring: RingKVCache, tokens: jax.Array,
         out = logits if want_logits else nxt
         return (nxt, pos + 1, kv8, sc, head), out
 
+    W = cfg.ring_flush
+    if W and W > 1 and n_steps > 1:
+        # Alignment contract: the head only ever advances by W (ring
+        # starts at 0), so every flush slab fits without wrapping.
+        # Chunks must therefore be multiples of W (the engine rounds its
+        # pow2 chunks up to >= W when ring_flush is set).
+        if n_steps % W != 0:
+            raise ValueError(
+                f"ring_flush={W} needs decode chunks divisible by it "
+                f"(got n_steps={n_steps})")
+        if S % W != 0:
+            raise ValueError(f"ring_flush={W} needs max_seq % W == 0 "
+                             f"(got {S})")
+        return _steps_impl_sideflush(
+            params, ring, tokens, positions, key, temperature, n_steps,
+            cfg, want_logits, top_k, top_p, W)
+
     keys = jax.random.split(key, n_steps)
     (ftoks, fpos, kv8, sc, head), outs = jax.lax.scan(
         one, (tokens, positions, ring.kv8, ring.sc, ring.head), keys)
+    return outs, RingKVCache(kv8, sc, head), ftoks, fpos
+
+
+def _steps_impl_sideflush(params: Dict, ring: RingKVCache,
+                          tokens: jax.Array, positions: jax.Array,
+                          key: jax.Array, temperature: jax.Array,
+                          n_steps: int, cfg: ServeConfig,
+                          want_logits: bool, top_k, top_p, W: int):
+    """Decode with batched ring writes (ServeConfig.ring_flush = W > 1).
+
+    Nested scans: the inner scan runs W steps collecting each step's
+    fresh k/v in a small (W, 2, L, BK, D) side buffer (attended via the
+    side part of :func:`_attend_ring` — re-scored against every new
+    query, exact); the outer scan flushes the side buffer into the ring
+    as ONE W-row slab store and advances the head by W.  A per-step
+    1-row DUS makes XLA read-modify-write every tile containing the row
+    (~ring_bytes/16 per step, S being packed in the sublane tile);
+    flushing W aligned rows touches each tile once.  Requires a W-aligned
+    head: the ring starts at head 0 and only ever advances by W.
+    """
+    mcfg = cfg.model
+    H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
+    B = tokens.shape[0]
+    S = ring.max_seq
+    BK = B * KV
+    L = mcfg.n_layers
+    linear = _make_linear(cfg)
+    inv_freq = rope_freqs(mcfg)
+
+    def outer(carry, keys_w):
+        toks, pos, kv8, sc, head = carry
+
+        def inner(icarry, step_in):
+            w, step_key = step_in
+            toks, pos, side8, ssc = icarry
+            h = _embed_lookup(params, toks)
+
+            ang = pos[:, None].astype(jnp.float32) * inv_freq
+            cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+            def rope1(x):
+                x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+                c, s = cos[:, None], sin[:, None]
+                return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
+                                       axis=-1).astype(x.dtype)
+
+            # ring holds pos - w tokens; the side buffer holds w
+            lens = jnp.clip(pos - w, 0, S)
+
+            def layer_step(lcarry, xs):
+                h, li = lcarry
+                (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
+                 gate8, gates, up8, ups, down8, downs) = xs
+
+                x = _rms(h, attn_norm, mcfg.norm_eps)
+                q = linear(x, q8, qs).reshape(B, H, D)
+                k = linear(x, k8w, ksw).reshape(B, KV, D)
+                v = linear(x, v8w, vsw).reshape(B, KV, D)
+                q, k = rope1(q), rope1(k)
+
+                kq8, kqs = quantize_kv(k, cfg.kv_fmt)
+                vq8, vqs = quantize_kv(v, cfg.kv_fmt)
+
+                ctx = _attend_ring(
+                    q, kq8, kqs[..., 0], vq8, vqs[..., 0],
+                    kv8[:, 0, li], sc[:, 0, li],
+                    kv8[:, 1, li], sc[:, 1, li], head, lens, mcfg,
+                    sk8=side8[:, 0, li], sks=ssc[:, 0, li],
+                    sv8=side8[:, 1, li], svs=ssc[:, 1, li], w=w)
+                h = h + linear(ctx, o8, osw)
+
+                x = _rms(h, mlp_norm, mcfg.norm_eps)
+                act = jax.nn.silu(linear(x, gate8, gates).astype(
+                    jnp.float32)).astype(x.dtype) * linear(x, up8, ups)
+                h = h + linear(act, down8, downs)
+                return (h, li + 1), (kq8.reshape(BK, D), kqs.reshape(BK),
+                                     vq8.reshape(BK, D), vqs.reshape(BK))
+
+            (h, _), (fk8, fks, fv8, fvs) = jax.lax.scan(
+                layer_step, (h, jnp.int32(0)), _layer_xs(params))
+
+            z = jnp.zeros((), jnp.int32)
+            side8 = jax.lax.dynamic_update_slice(
+                side8, fk8[None, None].astype(side8.dtype),
+                (w, z, z, z, z))
+            side8 = jax.lax.dynamic_update_slice(
+                side8, fv8[None, None].astype(side8.dtype),
+                (w, jnp.int32(1), z, z, z))
+            ssc = jax.lax.dynamic_update_slice(
+                ssc, fks[None, None], (w, z, z, z))
+            ssc = jax.lax.dynamic_update_slice(
+                ssc, fvs[None, None], (w, jnp.int32(1), z, z))
+
+            h = _rms(h, params["final_norm"], mcfg.norm_eps)
+            logits = _lm_head(params, h)
+            nxt = sample_tokens(logits, step_key, temperature,
+                                top_k, top_p)
+            out = logits if want_logits else nxt
+            return (nxt, pos + 1, side8, ssc), out
+
+        side8 = jnp.zeros((W, 2, L, BK, D), ring.kv8.dtype)
+        ssc = jnp.ones((W, 2, L, BK), jnp.float32)
+        (toks, pos, side8, ssc), outs = jax.lax.scan(
+            inner, (toks, pos, side8, ssc),
+            (jnp.arange(W, dtype=jnp.int32), keys_w))
+        # one aligned W-row slab flush
+        z = jnp.zeros((), jnp.int32)
+        kv8 = jax.lax.dynamic_update_slice(kv8, side8.astype(kv8.dtype),
+                                           (head, z, z, z, z))
+        sc = jax.lax.dynamic_update_slice(sc, ssc, (head, z, z, z))
+        head = jnp.mod(head + W, S)
+        return (toks, pos, kv8, sc, head), outs
+
+    keys = jax.random.split(key, n_steps).reshape(n_steps // W, W)
+    (ftoks, fpos, kv8, sc, head), outs = jax.lax.scan(
+        outer, (tokens, positions, ring.kv8, ring.sc, ring.head), keys)
+    outs = outs.reshape((n_steps,) + outs.shape[2:])
     return outs, RingKVCache(kv8, sc, head), ftoks, fpos
 
 

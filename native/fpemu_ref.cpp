@@ -242,6 +242,52 @@ static float cast_fp16(float x, Mode m, bool daz, Rng* rng) {
   return f16_bits_to_f32((uint16_t)(h & 0xFFFFu));
 }
 
+// E5M2 "noINF" (exponent offset 16, inf/NaN reclaimed) and "flex"
+// (f32-domain single rounding, flexible denormals) — the reference's
+// out-of-ABI L0 variants (fpemu_impl.cpp:460-593), bit-faithful incl.
+// the wrap/sign quirks (see numerics/golden.py cast_e5m2_noinf/_flex).
+static float cast_e5m2_noinf(float x, float scale) {
+  uint16_t h = f32_to_f16_rne(x * scale);
+  bool naninf = (h & 0x7C00) == 0x7C00;
+  int tie = ((h & 0x0100) == 0x0100) ? 1 : 0;
+  uint32_t enc = ((((uint32_t)(h & 0x7C00) >> 10) + 1) << 10)
+                 | (uint32_t)(h & 0x83FF);
+  if (!naninf) enc = (enc + 0x7F + tie) & 0xFFFF;
+  if ((h & 0x7FFF) > 0x7F00) enc = (enc & 0x8000) | 0x7F00;
+  if (naninf) enc = 0x8000;
+  uint16_t d = (uint16_t)(((enc >> 8) & 0xFF) << 8);
+  uint16_t dexp = (uint16_t)((((int)((d & 0x7C00) >> 10) - 1) << 10)
+                             & 0xFFFF);
+  uint16_t out = (uint16_t)((dexp | (d & 0x83FF)) & 0xFFFF);
+  if (d == 0x8000) out = 0x7C00;
+  return f16_bits_to_f32(out) * (1.0f / scale);
+}
+
+static float cast_e5m2_flex(float x, float /*scale unused, as in the
+                                             reference*/) {
+  uint32_t u = f32_bits(x);
+  uint32_t expf = u & 0x7F800000u;
+  bool naninf = expf == 0x7F800000u;
+  uint32_t tie = ((u & 0x00200000u) == 0x00200000u) ? 1u : 0u;
+  bool zflush = expf < 0x37800000u;
+  bool denorm = expf < 0x38800000u;
+  uint32_t sign = u & 0x80000000u;
+  uint32_t urne = naninf ? u : (u + 0xFFFFFu + tie);
+  int exp = (int)((urne & 0x7F800000u) >> 23) - 127;
+  int32_t mant = (int32_t)(urne & 0x7FFFFFu);
+  int shft = -15 - exp;
+  int rshft = denorm ? 21 + shft : 21;
+  int lshft = denorm ? 8 + shft : 8;
+  int32_t mant2 = 0;
+  if (rshft < 24 && rshft >= 0 && lshft >= 0 && rshft < 32 && lshft < 32)
+    mant2 = (mant >> rshft) << lshft;
+  uint16_t out = (uint16_t)(((uint32_t)mant2
+                             | (uint32_t)(((exp + 15) << 10) & 0xFFFF)
+                             | (sign ? 0x8000u : 0u)) & 0xFFFF);
+  if (zflush) out = 0;
+  return f16_bits_to_f32(out);
+}
+
 static float cast_fp4(float x, float scale) {
   float fin = x * scale;
   uint32_t u = f32_bits(fin);
@@ -259,7 +305,8 @@ static float cast_fp4(float x, float scale) {
 }
 
 struct Parsed {
-  enum Kind { KE5M2, KE4M3, KE4M3I, KE3M4, KFP4, KBF16, KFP16, KBAD } kind;
+  enum Kind { KE5M2, KE4M3, KE4M3I, KE3M4, KFP4, KBF16, KFP16,
+              KE5M2NOINF, KE5M2FLEX, KBAD } kind;
   Mode mode;
   bool daz;
 };
@@ -284,6 +331,10 @@ static Parsed parse_mode(const char* mode) {
   };
   if (starts("E5M2_DAZ_")) {
     p = {Parsed::KE5M2, parse_round(m.substr(9)), true};
+  } else if (m == "E5M2_NOINF_RNE") {
+    p = {Parsed::KE5M2NOINF, RNE, false};
+  } else if (m == "E5M2_FLEX_RNE") {
+    p = {Parsed::KE5M2FLEX, RNE, false};
   } else if (starts("E5M2_")) {
     p = {Parsed::KE5M2, parse_round(m.substr(5)), false};
   } else if (starts("E4M3_IEEE_")) {
@@ -318,6 +369,10 @@ static float cast_one(float x, const Parsed& p, float scale, Rng* rng) {
   switch (p.kind) {
     case Parsed::KE5M2:
       return cast_e5m2(x, p.mode, scale, p.daz, rng);
+    case Parsed::KE5M2NOINF:
+      return cast_e5m2_noinf(x, scale);
+    case Parsed::KE5M2FLEX:
+      return cast_e5m2_flex(x, scale);
     case Parsed::KE4M3:
       return cast_rebias(x, E4M3f, p.mode, scale, rng);
     case Parsed::KE4M3I:

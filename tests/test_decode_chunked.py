@@ -111,3 +111,63 @@ def test_chunked_per_slot_positions(setup):
         jnp.zeros((B,), jnp.float32), 4, scfg)
     assert np.asarray(toks).shape == (2, 4)
     assert np.isfinite(np.asarray(toks)).all()
+
+
+def test_sideflush_matches_per_step(setup):
+    """ring_flush=W (batched W-row slab flush + side-buffer attention)
+    must reproduce the per-step-write decode's greedy stream."""
+    import dataclasses
+    from fp8tpu.serve.model import decode_steps as dsteps
+    cfg, scfg, sparams = setup
+    B = 2
+    toks0 = jnp.asarray([3, 4], jnp.int32)
+    pos0 = jnp.asarray([0, 0], jnp.int32)
+
+    base = _fresh(cfg, B)
+    t_ref, ring_ref = dsteps(sparams, base, toks0, pos0,
+                             jax.random.key(0),
+                             jnp.zeros((B,), jnp.float32), 8, scfg)
+
+    sf = dataclasses.replace(scfg, ring_flush=4)
+    t_sf, ring_sf = dsteps(sparams, _fresh(cfg, B), toks0, pos0,
+                           jax.random.key(0),
+                           jnp.zeros((B,), jnp.float32), 8, sf)
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_sf))
+    # identical tokens → identical quantized k/v rows in the ring
+    np.testing.assert_array_equal(
+        np.asarray(ring_ref.kv8, np.float32),
+        np.asarray(ring_sf.kv8, np.float32))
+    assert int(ring_sf.head) == int(ring_ref.head) == 8
+
+
+def test_sideflush_prefill_then_decode(setup):
+    """Prefill (head untouched) followed by side-flush decode stays
+    consistent with the per-step path."""
+    import dataclasses
+    from fp8tpu.serve.model import decode_steps as dsteps, prefill as pf
+    cfg, scfg, sparams = setup
+    prompt = jnp.asarray([5, 6, 7, 8], jnp.int32)
+
+    def run(sc):
+        ring = _fresh(cfg, 2)
+        _, ring = pf(sparams, ring, jnp.pad(prompt, (0, 28)),
+                     jnp.int32(0), jnp.int32(4), sc)
+        t, _ = dsteps(sparams, ring, jnp.asarray([3, 0], jnp.int32),
+                      jnp.asarray([4, 0], jnp.int32), jax.random.key(0),
+                      jnp.zeros((2,), jnp.float32), 8, sc)
+        return np.asarray(t)
+
+    np.testing.assert_array_equal(
+        run(scfg), run(dataclasses.replace(scfg, ring_flush=4)))
+
+
+def test_sideflush_rejects_misaligned_chunk(setup):
+    import dataclasses
+    import pytest
+    from fp8tpu.serve.model import decode_steps as dsteps
+    cfg, scfg, sparams = setup
+    sf = dataclasses.replace(scfg, ring_flush=4)
+    with pytest.raises(ValueError):
+        dsteps(sparams, _fresh(cfg, 2), jnp.asarray([3, 4], jnp.int32),
+               jnp.zeros((2,), jnp.int32), jax.random.key(0),
+               jnp.zeros((2,), jnp.float32), 6, sf)

@@ -62,11 +62,17 @@ def test_hw_saturates_e4m3():
                                         448.0])
 
 
-def test_hw_keeps_e5m2_inf():
-    x = jnp.asarray([1e9, np.inf, 57344.0], jnp.float32)
+def test_hw_e5m2_saturates_finite_keeps_true_inf():
+    """Finite out-of-range values SATURATE (reference-kernel semantics,
+    fpemu_impl.cpp:711-763 — and the behavior that keeps the reference's
+    clamp-UP scale quirk from minting inf, NOTES r3); a true input ±inf
+    still passes through."""
+    x = jnp.asarray([1e9, np.inf, -np.inf, 57344.0, 61440.0], jnp.float32)
     out = np.asarray(fake_quant(x, TensorQuantConfig("e5m2",
                                                      cast_impl="hw")))
-    assert np.isinf(out[0]) and np.isinf(out[1]) and out[2] == 57344.0
+    assert out[0] == 57344.0, out
+    assert np.isposinf(out[1]) and np.isneginf(out[2])
+    assert out[3] == 57344.0 and out[4] == 57344.0
 
 
 def test_hw_spec_exact_vs_grid(rng):

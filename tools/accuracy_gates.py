@@ -185,8 +185,11 @@ def lm_gates(steps, batch, lr, results, model_name="small"):
     trained = _trained_baseline(model_name, model, variables, train_toks,
                                 steps, lr, batch)
 
-    base_apply = jax.jit(lambda t: model.apply(trained, t))
-    base = ppl_of(base_apply, eval_toks)
+    # params must be RUNTIME ARGS of every jitted apply: a closure bakes
+    # them into the compile payload as constants, which the tunneled
+    # remote-compile endpoint rejects at ~90M params (HTTP 413).
+    japply = jax.jit(lambda v, t: model.apply(v, t))
+    base = ppl_of(lambda tb: japply(trained, tb), eval_toks)
     prev_training = results.get("lm", {}).get("training")
     results["lm"] = {"model": model_name,
                      "params_m": round(float(n_params) / 1e6, 1),
@@ -206,7 +209,8 @@ def lm_gates(steps, batch, lr, results, model_name="small"):
                                    (jnp.asarray(eval_toks[:1, :-1]),),
                                    dtype=dtype, calibration_batches=calib,
                                    list_exempt_layers=("embed",))
-        p = ppl_of(jax.jit(qm.apply), eval_toks)
+        jq = jax.jit(lambda v, tb: qm.apply(tb, variables=v))
+        p = ppl_of(lambda tb, _v=qm.variables: jq(_v, tb), eval_toks)
         results["lm"]["policies"][dtype] = {
             "ppl": round(p, 4), "delta_ppl": round(p - base, 4)}
         print(f"[lm] PTQ {dtype:9s} ppl {p:.4f}  Δ {p-base:+.4f}")
@@ -246,7 +250,7 @@ def lm_gates(steps, batch, lr, results, model_name="small"):
         t0 = time.time()
         tp = train_fp8(model, variables, train_toks, steps, lr, batch,
                        algo)
-        p = ppl_of(jax.jit(lambda t: model.apply(tp, t)), eval_toks)
+        p = ppl_of(lambda tb, _p=tp: japply(_p, tb), eval_toks)
         results["lm"]["training"][f"{algo}_ppl"] = round(p, 4)
         results["lm"]["training"][f"{algo}_gap"] = round(p - base, 4)
         print(f"[lm] {algo} FP8-trained ppl {p:.4f} "
@@ -264,7 +268,8 @@ def direct_recipe_gates(steps, batch, lr, results, model_name="small"):
                            jnp.asarray(train_toks[:1, :-1]))
     trained = _trained_baseline(model_name, model, variables, train_toks,
                                 steps, lr, batch)
-    base = ppl_of(jax.jit(lambda t: model.apply(trained, t)), eval_toks)
+    japply = jax.jit(lambda v, t: model.apply(v, t))
+    base = ppl_of(lambda tb: japply(trained, tb), eval_toks)
     out = {"bf16_ppl": round(base, 4), "model": model_name}
     for algo, master in (("direct", "fp16"), ("direct", "fp32"),
                          ("direct-scaled", "fp16"),
@@ -272,7 +277,7 @@ def direct_recipe_gates(steps, batch, lr, results, model_name="small"):
         t0 = time.time()
         tp = train_fp8(model, variables, train_toks, steps, lr, batch,
                        algo, master_fmt=master)
-        p = ppl_of(jax.jit(lambda t: model.apply(tp, t)), eval_toks)
+        p = ppl_of(lambda tb, _p=tp: japply(_p, tb), eval_toks)
         tag = f"{algo}_{master}"
         out[f"{tag}_ppl"] = round(p, 4)
         out[f"{tag}_gap"] = round(p - base, 4)
