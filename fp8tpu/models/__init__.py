@@ -38,6 +38,8 @@ from .bert import (  # noqa: F401
     BERT_OUTPUT_FUSED,
     BERT_QA_EXEMPT,
     BertConfig,
+    bert_base_config,
+    bert_large_config,
     BertEncoder,
     BertForQA,
     tiny_bert,

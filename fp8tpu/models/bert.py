@@ -134,6 +134,23 @@ def tiny_bert(**kw) -> BertConfig:
     return BertConfig(**base)
 
 
+def bert_base_config(**kw) -> BertConfig:
+    """google-bert/bert-base-uncased shape (the BertConfig defaults)."""
+    return BertConfig(**kw)
+
+
+def bert_large_config(**kw) -> BertConfig:
+    """bert-large-uncased shape — the model class the reference's SQuAD
+    recipe quantizes (run_squad.py:436-489; cmd_inference.sh:25-36): 24
+    layers x d1024/16 heads, whose 24 ``attn_scores_matmul`` outputs the
+    E5M2 path un-quantizes.  Pretrained weights cannot ship in this
+    image; the structural surface (module paths, exempt/fused recipes,
+    seq-384 QA head) is exercised at this scale in tests/test_bert.py."""
+    base = dict(d_model=1024, n_layers=24, n_heads=16, d_ff=4096)
+    base.update(kw)
+    return BertConfig(**base)
+
+
 # Reference BERT PTQ recipe (run_squad.py:436-472): exempt the QA head and
 # un-quantize attention-score matmul outputs.
 BERT_QA_EXEMPT = ("qa_outputs",)
