@@ -47,12 +47,15 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "ACCURACY.json")
 # "large" is a ~90M-param decoder trained to convergence on a larger,
 # higher-entropy corpus; "small" keeps the fast ~7M loop for ablations.
 MODELS = {
+    # lr: 3e-3 suits the 7M model; at 83M it destabilizes FP8 training
+    # (loss stalls ~5.5 while bf16 trains through — NOTES r3), so the
+    # large preset defaults to 1e-3 for a fair same-lr comparison.
     "small": dict(n_layers=4, d_model=256, n_heads=8, n_kv_heads=4,
                   d_ff=768, vocab=64, seq=128, corpus=16384,
-                  default_steps=1500),
+                  default_steps=1500, default_lr=3e-3),
     "large": dict(n_layers=12, d_model=768, n_heads=12, n_kv_heads=4,
                   d_ff=2304, vocab=256, seq=256, corpus=32768,
-                  default_steps=3000),
+                  default_steps=3000, default_lr=1e-3),
 }
 
 
@@ -144,9 +147,9 @@ def _build_lm(model_name):
 
 def _trained_baseline(model_name, model, variables, train_toks, steps,
                       lr, batch):
-    """bf16 baseline weights, checkpoint-cached per (model, steps)."""
+    """bf16 baseline weights, checkpoint-cached per (model, lr, steps)."""
     ckpt_dir = os.path.join(os.path.dirname(__file__), "..",
-                            f".cache_accuracy_{model_name}")
+                            f".cache_accuracy_{model_name}_lr{lr:g}")
     from fp8tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
     trained = None
     if os.environ.get("ACC_REUSE") == "1":
@@ -381,12 +384,15 @@ def main():
     ap.add_argument("--model", choices=sorted(MODELS), default="small")
     ap.add_argument("--conv_steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="defaults to the model preset's lr")
     ap.add_argument("--direct_ablation", action="store_true",
                     help="run the 4-recipe direct-training ablation")
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args()
     steps = args.steps or MODELS[args.model]["default_steps"]
+    if args.lr is None:
+        args.lr = MODELS[args.model]["default_lr"]
 
     results = {"steps": steps, "backend": jax.default_backend()}
     # merge over a previous run so skipped sections keep their numbers
