@@ -163,8 +163,12 @@ def main():
         # BASELINE.json configs[3] names 7B-class decoding: record the
         # absolute fp8 number at that scale (the bf16 ratio there is a
         # documented half-depth-twin estimate; the measured 3B pair above
-        # stays the headline ratio because both twins fit HBM).
-        line["7b"] = bench_7b()
+        # stays the headline ratio because both twins fit HBM).  Never
+        # let the 7B leg cost the headline line.
+        try:
+            line["7b"] = bench_7b()
+        except Exception as e:  # pragma: no cover - depends on device
+            line["7b"] = {"error": str(e)[:200]}
     extras = _extras()
     if extras:
         line["extras"] = extras

@@ -44,7 +44,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="+", default=["tiny"],
                     choices=["tiny", "tiny_vgg", "tiny_mobilenet",
-                             "tiny_inception", "tiny_densenet",
+                             "tiny_inception", "tiny_densenet", "tiny_shufflenet",
                              "resnet18", "resnet50"])
     ap.add_argument("--dtypes", nargs="+",
                     default=["e4m3", "e3m4", "hybrid", "e5m2"])

@@ -41,9 +41,10 @@ MODEL_EXEMPT = {
 def get_model(name: str, num_classes: int, norm_mode: str = "bn"):
     import dataclasses
     from fp8tpu.models.vision import (DENSENET_EXEMPT, INCEPTION_EXEMPT,
-                                      MOBILENET_EXEMPT, VGG_EXEMPT,
-                                      tiny_densenet, tiny_inception,
-                                      tiny_mobilenet, tiny_vgg)
+                                      MOBILENET_EXEMPT, SHUFFLENET_EXEMPT,
+                                      VGG_EXEMPT, tiny_densenet,
+                                      tiny_inception, tiny_mobilenet,
+                                      tiny_shufflenet, tiny_vgg)
     if name == "tiny_vgg":
         MODEL_EXEMPT[name] = VGG_EXEMPT
         return tiny_vgg(num_classes)
@@ -56,6 +57,9 @@ def get_model(name: str, num_classes: int, norm_mode: str = "bn"):
     if name == "tiny_densenet":
         MODEL_EXEMPT[name] = DENSENET_EXEMPT
         return tiny_densenet(num_classes)
+    if name == "tiny_shufflenet":
+        MODEL_EXEMPT[name] = SHUFFLENET_EXEMPT
+        return tiny_shufflenet(num_classes)
     cfgs = {
         "resnet18": ResNetConfig(stage_sizes=(2, 2, 2, 2)),
         "resnet50": ResNetConfig(stage_sizes=(3, 4, 6, 3), bottleneck=True),

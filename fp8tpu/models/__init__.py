@@ -7,6 +7,7 @@ from .vision import (  # noqa: F401
     DENSENET_EXEMPT,
     INCEPTION_EXEMPT,
     MOBILENET_EXEMPT,
+    SHUFFLENET_EXEMPT,
     VGG_EXEMPT,
     DenseNet,
     DenseNetConfig,
@@ -14,14 +15,18 @@ from .vision import (  # noqa: F401
     InceptionConfig,
     MobileNet,
     MobileNetConfig,
+    ShuffleNet,
+    ShuffleNetConfig,
     VGG,
     VGGConfig,
     densenet,
     inception,
     mobilenet,
+    shufflenet,
     tiny_densenet,
     tiny_inception,
     tiny_mobilenet,
+    tiny_shufflenet,
     tiny_vgg,
     vgg11,
 )

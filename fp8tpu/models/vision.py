@@ -258,3 +258,78 @@ def tiny_densenet(num_classes: int = 10) -> DenseNet:
     return DenseNet(DenseNetConfig(blocks=(3, 4), growth=12,
                                    stem_width=16,
                                    num_classes=num_classes))
+
+
+SHUFFLENET_EXEMPT: Tuple[str, ...] = ("conv_stem", "classifier")
+
+
+@dataclasses.dataclass(frozen=True)
+class ShuffleNetConfig:
+    # (out_channels, stride) per unit; channels must be even (the split)
+    plan: Tuple[Tuple[int, int], ...] = (
+        (116, 2), (116, 1), (116, 1), (232, 2), (232, 1), (464, 2))
+    stem_width: int = 24
+    num_classes: int = 1000
+    norm_mode: str = "batch"
+
+
+class ShuffleNet(nn.Module):
+    """ShuffleNetV2-style units: channel split → (identity ‖ 1x1-dw-1x1
+    branch) → concat → channel shuffle.  The split/shuffle topology plus
+    depthwise convs is the last structurally distinct family of the
+    reference's sweep (shufflenet_v2_x1_0, launch.py:14-80): one
+    module's output is re-interleaved before the next consumer, which
+    path-based policy resolution must survive."""
+
+    cfg: ShuffleNetConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+
+        def cbr(x, ch, k, name, stride=1, groups=1):
+            x = nn.Conv(ch, (k, k), (stride, stride), use_bias=False,
+                        feature_group_count=groups, name=name)(x)
+            x = SwitchableNorm(ch, cfg.norm_mode, name=f"{name}_norm")(
+                x, use_running_average=not train)
+            return nn.relu(x)
+
+        def shuffle(x, groups=2):
+            B, H, W, C = x.shape
+            return (x.reshape(B, H, W, groups, C // groups)
+                    .swapaxes(3, 4).reshape(B, H, W, C))
+
+        x = cbr(x, cfg.stem_width, 3, "conv_stem", stride=2)
+        ch_in = cfg.stem_width
+        for i, (ch, stride) in enumerate(cfg.plan):
+            half = ch // 2
+            if stride == 1 and ch_in == ch:
+                a, b = jnp.split(x, 2, axis=-1)
+                b = cbr(b, half, 1, f"u{i}_pw1")
+                b = cbr(b, half, 3, f"u{i}_dw", groups=half)
+                b = cbr(b, half, 1, f"u{i}_pw2")
+                x = jnp.concatenate([a, b], axis=-1)
+            else:
+                # downsampling unit: both branches transform
+                a = cbr(x, ch_in, 3, f"u{i}_adw", stride=stride,
+                        groups=ch_in)
+                a = cbr(a, half, 1, f"u{i}_apw")
+                b = cbr(x, half, 1, f"u{i}_pw1")
+                b = cbr(b, half, 3, f"u{i}_dw", stride=stride,
+                        groups=half)
+                b = cbr(b, half, 1, f"u{i}_pw2")
+                x = jnp.concatenate([a, b], axis=-1)
+            x = shuffle(x)
+            ch_in = ch
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(cfg.num_classes, name="classifier")(x)
+
+
+def shufflenet(num_classes: int = 1000, **kw) -> ShuffleNet:
+    return ShuffleNet(ShuffleNetConfig(num_classes=num_classes, **kw))
+
+
+def tiny_shufflenet(num_classes: int = 10) -> ShuffleNet:
+    return ShuffleNet(ShuffleNetConfig(
+        plan=((32, 2), (32, 1), (64, 2)), stem_width=16,
+        num_classes=num_classes))

@@ -33,9 +33,36 @@ import jax.numpy as jnp
 from .formats import FORMATS, FPFormat, RoundMode, parse_mode_string
 
 
+import os as _os
+
+# SR dither source.  "hash": murmur3-finalizer counter hash — SR needs
+# uniform dither, not crypto, and threefry was measured at ~35% of the
+# whole fp8 train step (every gradient stream draws bits; NOTES r3).
+# "threefry": jax.random.bits (the round-1/2 behavior).
+SR_BITS_IMPL = _os.environ.get("FP8TPU_SR_BITS", "hash")
+
+
 def sr_bits(key: jax.Array, shape) -> jax.Array:
-    """Counter-based random bits for stochastic rounding (uint16)."""
-    return jax.random.bits(key, shape, dtype=jnp.uint16)
+    """Counter-based random bits for stochastic rounding (uint16):
+    deterministic in (key, element index), so streams are reproducible
+    across shardings and resumes (SURVEY §5.2)."""
+    if SR_BITS_IMPL == "threefry":
+        return jax.random.bits(key, shape, dtype=jnp.uint16)
+    kd = jax.random.key_data(key)
+    kd = kd.reshape(-1).astype(jnp.uint32)
+    salt = kd[0] * jnp.uint32(0x9E3779B9) ^ kd[-1]
+    n = 1
+    for s in shape:
+        n *= int(s)
+    idx = jax.lax.iota(jnp.uint32, max(n, 1))
+    h = idx * jnp.uint32(0xCC9E2D51) + salt
+    # murmur3 finalizer: full avalanche per 32-bit lane
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return (h >> 16).astype(jnp.uint16).reshape(shape)
 
 
 def f32_to_f16_bits(f: jax.Array) -> jax.Array:

@@ -120,3 +120,23 @@ def test_sr_matches_bitexact_distributionally(rng):
         mh += float(jnp.mean(fake_quant(x, hw, jax.random.key(i))))
         mr += float(jnp.mean(fake_quant(x, ref, jax.random.key(100 + i))))
     assert abs(mh - mr) / 6 < 5e-3
+
+
+def test_sr_bits_hash_uniform_and_keyed():
+    """The murmur-hash dither source: uniform to ~chi-square tolerance,
+    deterministic per key, decorrelated across keys (NOTES r3 — threefry
+    was ~35% of the fp8 train step; SR needs dither, not crypto)."""
+    from fp8tpu.numerics.cast import sr_bits
+    k1 = jax.random.fold_in(jax.random.key(0), 7)
+    k2 = jax.random.fold_in(jax.random.key(0), 8)
+    a = np.asarray(sr_bits(k1, (1 << 16,)))
+    b = np.asarray(sr_bits(k2, (1 << 16,)))
+    a2 = np.asarray(sr_bits(k1, (1 << 16,)))
+    np.testing.assert_array_equal(a, a2)        # deterministic per key
+    assert (a != b).mean() > 0.99               # keys decorrelate
+    # 16-bucket uniformity: expected 4096/bucket, chi2_15 99.9% ~ 37.7
+    counts = np.bincount(a >> 12, minlength=16)
+    chi2 = (((counts - 4096.0) ** 2) / 4096.0).sum()
+    assert chi2 < 60.0, (chi2, counts)
+    # mean of the uniform dither ~ 32767.5
+    assert abs(a.mean() - 32767.5) < 300.0, a.mean()

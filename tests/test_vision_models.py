@@ -10,8 +10,9 @@ import jax.numpy as jnp
 
 import fp8tpu
 from fp8tpu.models import (DENSENET_EXEMPT, INCEPTION_EXEMPT,
-                           MOBILENET_EXEMPT, VGG_EXEMPT, tiny_densenet,
-                           tiny_inception, tiny_mobilenet, tiny_vgg)
+                           MOBILENET_EXEMPT, SHUFFLENET_EXEMPT,
+                           VGG_EXEMPT, tiny_densenet, tiny_inception,
+                           tiny_mobilenet, tiny_shufflenet, tiny_vgg)
 
 
 @pytest.mark.parametrize("make,exempt", [
@@ -19,6 +20,7 @@ from fp8tpu.models import (DENSENET_EXEMPT, INCEPTION_EXEMPT,
     (tiny_mobilenet, MOBILENET_EXEMPT),
     (tiny_inception, INCEPTION_EXEMPT),
     (tiny_densenet, DENSENET_EXEMPT),
+    (tiny_shufflenet, SHUFFLENET_EXEMPT),
 ])
 def test_family_ptq_flow(rng, make, exempt):
     model = make(8)
