@@ -40,8 +40,15 @@ def _fmt(fmt) -> FPFormat:
 
 def _max_scale(vmax: jnp.ndarray, fmt: FPFormat) -> jnp.ndarray:
     scale = jnp.float32(fmt.max_normal) / vmax
-    return jnp.where(scale > _SCALE_CLAMP_THRESHOLD, _SCALE_CLAMP_VALUE,
-                     scale)
+    # Deviation from qutils.py:280-287: the reference replaces any raw
+    # scale above 3.275e4 with 6.55e4 even when that OVERSHOOTS the raw
+    # (range-exact) scale — for e5m2 and raw in (3.275e4, 6.55e4)
+    # (max|x| in [0.875, 1.75)) the scaled max lands past 57344 and the
+    # via-fp16 cast mints inf from finite values.  We keep the clamp's
+    # intent (pull tiny tensors into fp16's normal range) but never
+    # exceed the range-exact scale.
+    return jnp.where(scale > _SCALE_CLAMP_THRESHOLD,
+                     jnp.minimum(_SCALE_CLAMP_VALUE, scale), scale)
 
 
 def _mean_scale(mean: jnp.ndarray, fmt: FPFormat, eps: float) -> jnp.ndarray:

@@ -131,7 +131,10 @@ def fp8_scale_from_stats(stats_rec: Dict, cfg: TensorQuantConfig,
     absmax = stats_rec[f"{role}_absmax"]
     fmt = FORMATS[cfg.dtype]
     scale = jnp.float32(fmt.max_normal) / jnp.maximum(absmax, 1e-30)
-    return jnp.where(scale > 3.275e4, 6.55e4, scale)
+    # Same overshoot guard as numerics/scaling.py::_max_scale: the
+    # reference clamps UP to 6.55e4, which for e5m2 can exceed the
+    # range-exact scale and saturate/overflow finite values.
+    return jnp.where(scale > 3.275e4, jnp.minimum(6.55e4, scale), scale)
 
 
 def int_qparams_from_stats(stats_rec: Dict, bits: int = 8,

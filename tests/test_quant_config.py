@@ -67,6 +67,30 @@ def test_per_tensor_max_scaling_matches_reference_formula(rng):
     assert s0 == 6.55e4
 
 
+def test_per_tensor_max_scale_clamp_never_overshoots(rng):
+    """Regression: the reference's clamp-UP (raw scale > 3.275e4 →
+    6.55e4, qutils.py:280-287) can EXCEED the range-exact scale — for
+    e5m2 with max|x| in [0.875, 1.75) the scaled max lands past 57344
+    and the cast mints inf (bitexact) / collapses the top of the range
+    (hw saturation).  Our clamp keeps the intent (pull tiny tensors up
+    into the fp16 normal range) but never exceeds flt_max / max|x|."""
+    fmt = FORMATS["e5m2"]
+    for amax in (0.875, 1.0, 1.2, 1.7499):
+        x = np.zeros(64, np.float32)
+        x[0] = amax
+        s = float(sc.per_tensor(jnp.asarray(x), fmt, "max"))
+        assert s * amax <= 57344.0 * (1 + 1e-6), (amax, s)
+        expected = min(6.55e4, 57344.0 / amax)
+        assert abs(s - expected) / s < 1e-6
+    # e4m3 window: amax in (448/6.55e4, 448/3.275e4)
+    x = np.zeros(64, np.float32)
+    x[0] = 0.01
+    s = float(sc.per_tensor(jnp.asarray(x), FORMATS["e4m3"], "max"))
+    assert s * 0.01 <= 448.0 * (1 + 1e-6)
+    # zero/tiny tensors: the clamp still engages at exactly 6.55e4
+    assert float(sc.per_tensor(jnp.full(8, 1e-7), fmt, "max")) == 6.55e4
+
+
 def test_per_tensor_mean_scaling(rng):
     x = (rng.normal(0, 1e-7, 1024)).astype(np.float32)
     fmt = FORMATS["e4m3"]

@@ -78,10 +78,20 @@ def ppl_of(apply_fn, tokens, batch=16):
     return float(np.exp(tot / max(n, 1)))
 
 
+def _opt(lr, steps):
+    """Shared recipe: AdamW + cosine + global-norm clipping.  The clip
+    matters at 83M: without it both bf16 and fp8 runs show late-phase
+    loss spikes (4.3 -> 4.8) that make single-run ΔPPL gaps swing by
+    whole nats (NOTES r3)."""
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.cosine_decay_schedule(lr, steps), b2=0.98,
+                    weight_decay=0.01))
+
+
 def train_bf16(model, variables, train_toks, steps, lr, batch, log=True):
     """Plain bf16/f32 AdamW training — the fp32 baseline."""
-    opt = optax.adamw(optax.cosine_decay_schedule(lr, steps), b2=0.98,
-                      weight_decay=0.01)
+    opt = _opt(lr, steps)
     opt_state = opt.init(variables["params"])
 
     @jax.jit
@@ -111,8 +121,7 @@ def train_fp8(model, variables, train_toks, steps, lr, batch, algo,
     emulator = initialize(model, variables,
                           (jnp.asarray(train_toks[:1, :-1]),),
                           training_algo=algo, master_fmt=master_fmt)
-    opt = optax.adamw(optax.cosine_decay_schedule(lr, steps), b2=0.98,
-                      weight_decay=0.01)
+    opt = _opt(lr, steps)
     step = jax.jit(make_train_step(
         emulator, opt, lambda af, p, b: lm_loss(af, p, b)))
     params = variables
@@ -149,7 +158,7 @@ def _trained_baseline(model_name, model, variables, train_toks, steps,
                       lr, batch):
     """bf16 baseline weights, checkpoint-cached per (model, lr, steps)."""
     ckpt_dir = os.path.join(os.path.dirname(__file__), "..",
-                            f".cache_accuracy_{model_name}_lr{lr:g}")
+                            f".cache_accuracy_{model_name}_lr{lr:g}_clip")
     from fp8tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
     trained = None
     if os.environ.get("ACC_REUSE") == "1":
