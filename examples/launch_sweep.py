@@ -44,8 +44,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="+", default=["tiny"],
                     choices=["tiny", "tiny_vgg", "tiny_mobilenet",
-                             "tiny_inception", "tiny_densenet", "tiny_shufflenet",
-                             "resnet18", "resnet50"])
+                             "tiny_inception", "tiny_densenet",
+                             "tiny_shufflenet", "tiny_squeezenet",
+                             "tiny_mbconv", "tiny_mbconv_hs",
+                             "tiny_resnext", "resnet18", "resnet50",
+                             "resnext50_32x4d", "wide_resnet50_2"])
     ap.add_argument("--dtypes", nargs="+",
                     default=["e4m3", "e3m4", "hybrid", "e5m2"])
     ap.add_argument("--num_samples", type=int, default=128)

@@ -41,31 +41,42 @@ MODEL_EXEMPT = {
 def get_model(name: str, num_classes: int, norm_mode: str = "bn"):
     import dataclasses
     from fp8tpu.models.vision import (DENSENET_EXEMPT, INCEPTION_EXEMPT,
-                                      MOBILENET_EXEMPT, SHUFFLENET_EXEMPT,
+                                      MBCONV_EXEMPT, MOBILENET_EXEMPT,
+                                      SHUFFLENET_EXEMPT,
+                                      SQUEEZENET_EXEMPT,
                                       VGG_EXEMPT, tiny_densenet,
-                                      tiny_inception, tiny_mobilenet,
-                                      tiny_shufflenet, tiny_vgg)
-    if name == "tiny_vgg":
-        MODEL_EXEMPT[name] = VGG_EXEMPT
-        return tiny_vgg(num_classes)
-    if name == "tiny_mobilenet":
-        MODEL_EXEMPT[name] = MOBILENET_EXEMPT
-        return tiny_mobilenet(num_classes)
-    if name == "tiny_inception":
-        MODEL_EXEMPT[name] = INCEPTION_EXEMPT
-        return tiny_inception(num_classes)
-    if name == "tiny_densenet":
-        MODEL_EXEMPT[name] = DENSENET_EXEMPT
-        return tiny_densenet(num_classes)
-    if name == "tiny_shufflenet":
-        MODEL_EXEMPT[name] = SHUFFLENET_EXEMPT
-        return tiny_shufflenet(num_classes)
+                                      tiny_inception, tiny_mbconv,
+                                      tiny_mobilenet, tiny_shufflenet,
+                                      tiny_squeezenet, tiny_vgg)
+    from fp8tpu.models.resnet import tiny_resnext
+    makers = {
+        "tiny_vgg": (tiny_vgg, VGG_EXEMPT),
+        "tiny_mobilenet": (tiny_mobilenet, MOBILENET_EXEMPT),
+        "tiny_inception": (tiny_inception, INCEPTION_EXEMPT),
+        "tiny_densenet": (tiny_densenet, DENSENET_EXEMPT),
+        "tiny_shufflenet": (tiny_shufflenet, SHUFFLENET_EXEMPT),
+        "tiny_squeezenet": (tiny_squeezenet, SQUEEZENET_EXEMPT),
+        "tiny_mbconv": (tiny_mbconv, MBCONV_EXEMPT),
+        "tiny_mbconv_hs": (lambda n: tiny_mbconv(n, act="hardswish"),
+                           MBCONV_EXEMPT),
+        "tiny_resnext": (tiny_resnext, RESNET_EXEMPT),
+    }
+    if name in makers:
+        make, exempt = makers[name]
+        MODEL_EXEMPT[name] = exempt
+        return make(num_classes)
     cfgs = {
         "resnet18": ResNetConfig(stage_sizes=(2, 2, 2, 2)),
         "resnet50": ResNetConfig(stage_sizes=(3, 4, 6, 3), bottleneck=True),
+        "resnext50_32x4d": ResNetConfig(stage_sizes=(3, 4, 6, 3),
+                                        bottleneck=True, groups=32,
+                                        base_width=4),
+        "wide_resnet50_2": ResNetConfig(stage_sizes=(3, 4, 6, 3),
+                                        bottleneck=True, base_width=128),
         "tiny": ResNetConfig(stage_sizes=(1, 1), width=16,
                              small_images=True),
     }
+    MODEL_EXEMPT.setdefault(name, RESNET_EXEMPT)
     cfg = dataclasses.replace(cfgs[name], num_classes=num_classes,
                               norm_mode=norm_mode)
     return ResNet(cfg)

@@ -333,3 +333,158 @@ def tiny_shufflenet(num_classes: int = 10) -> ShuffleNet:
     return ShuffleNet(ShuffleNetConfig(
         plan=((32, 2), (32, 1), (64, 2)), stem_width=16,
         num_classes=num_classes))
+
+
+# ---------------------------------------------------------------------------
+# squeezenet1_1 / mobilenet_v2 / mobilenet_v3 / efficientnet_b0 families
+# (launch.py:20-25): fire modules are norm-free (PTQ without BN-fold),
+# inverted residuals add linear-projection residual adds, and SE blocks
+# put Dense modules on a pooled side path whose sigmoid gate multiplies
+# the conv stream — each a distinct policy-resolution surface.
+# ---------------------------------------------------------------------------
+
+SQUEEZENET_EXEMPT: Tuple[str, ...] = ("conv_stem", "classifier")
+MBCONV_EXEMPT: Tuple[str, ...] = ("conv_stem", "classifier")
+
+
+@dataclasses.dataclass(frozen=True)
+class SqueezeNetConfig:
+    # per fire module: (squeeze, expand); 0-tuple marks a pool boundary
+    plan: Tuple[Tuple[int, ...], ...] = (
+        (16, 64), (16, 64), (), (32, 128), (32, 128), (),
+        (48, 192), (48, 192), (64, 256), (64, 256))
+    stem_width: int = 64
+    num_classes: int = 1000
+
+
+class SqueezeNet(nn.Module):
+    """SqueezeNet1.1-style fire modules: squeeze 1x1 → (expand 1x1 ‖
+    expand 3x3) concat.  Deliberately NORM-FREE like the torchvision
+    original — the only sweep family whose convs carry bias and never
+    feed a BatchNorm, so the PTQ recipe runs without BN-fold and
+    output-fusion patterns must not fire."""
+
+    cfg: SqueezeNetConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        x = nn.relu(nn.Conv(cfg.stem_width, (3, 3), (2, 2),
+                            name="conv_stem")(x))
+        x = nn.max_pool(x, (3, 3), (2, 2))
+        for i, plan in enumerate(cfg.plan):
+            if not plan:
+                x = nn.max_pool(x, (3, 3), (2, 2))
+                continue
+            s, e = plan
+            sq = nn.relu(nn.Conv(s, (1, 1), name=f"f{i}_squeeze")(x))
+            e1 = nn.relu(nn.Conv(e, (1, 1), name=f"f{i}_expand1")(sq))
+            e3 = nn.relu(nn.Conv(e, (3, 3), name=f"f{i}_expand3")(sq))
+            x = jnp.concatenate([e1, e3], axis=-1)
+        # torchvision: classifier is a 1x1 conv then global pool
+        x = nn.Conv(cfg.num_classes, (1, 1), name="classifier")(x)
+        return jnp.mean(x, axis=(1, 2))
+
+
+def squeezenet(num_classes: int = 1000, **kw) -> SqueezeNet:
+    return SqueezeNet(SqueezeNetConfig(num_classes=num_classes, **kw))
+
+
+def tiny_squeezenet(num_classes: int = 10) -> SqueezeNet:
+    return SqueezeNet(SqueezeNetConfig(
+        plan=((8, 16), (), (16, 32)), stem_width=16,
+        num_classes=num_classes))
+
+
+@dataclasses.dataclass(frozen=True)
+class MBConvConfig:
+    # per block: (out_channels, stride, expand_ratio, use_se)
+    plan: Tuple[Tuple[int, int, int, bool], ...] = (
+        (16, 1, 1, False), (24, 2, 6, False), (24, 1, 6, False),
+        (40, 2, 6, True), (40, 1, 6, True), (80, 2, 6, True),
+        (112, 1, 6, True), (192, 2, 6, True), (320, 1, 6, True))
+    stem_width: int = 32
+    num_classes: int = 1000
+    norm_mode: str = "batch"
+    act: str = "relu6"             # 'relu6' (v2) | 'hardswish' (v3) |
+    #                                'silu' (efficientnet)
+    se_ratio: float = 0.25
+
+
+class MBConvNet(nn.Module):
+    """Inverted-residual (MBConv) stack: expand 1x1 → depthwise 3x3 →
+    optional squeeze-excite → LINEAR project 1x1 → residual add.  Covers
+    the mobilenet_v2 / mobilenet_v3 / efficientnet_b0 rows of the sweep
+    (launch.py:21-25): the projection conv's output is un-activated (a
+    different oact surface than relu stacks), and SE side paths hang
+    Dense modules off a pooled branch whose gate multiplies the main
+    stream."""
+
+    cfg: MBConvConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        act = {"relu6": lambda v: jnp.minimum(nn.relu(v), 6.0),
+               "hardswish": nn.hard_swish,
+               "silu": nn.silu}[cfg.act]
+
+        def norm(x, ch, name):
+            return SwitchableNorm(ch, cfg.norm_mode, name=name)(
+                x, use_running_average=not train)
+
+        x = nn.Conv(cfg.stem_width, (3, 3), (2, 2), use_bias=False,
+                    name="conv_stem")(x)
+        x = act(norm(x, cfg.stem_width, "norm_stem"))
+        ch_in = cfg.stem_width
+        for i, (ch, stride, t, use_se) in enumerate(cfg.plan):
+            inner = ch_in * t
+            y = x
+            if t != 1:
+                y = nn.Conv(inner, (1, 1), use_bias=False,
+                            name=f"b{i}_expand")(y)
+                y = act(norm(y, inner, f"b{i}_expand_norm"))
+            y = nn.Conv(inner, (3, 3), (stride, stride), use_bias=False,
+                        feature_group_count=inner, name=f"b{i}_dw")(y)
+            y = act(norm(y, inner, f"b{i}_dw_norm"))
+            if use_se:
+                se_ch = max(int(ch_in * cfg.se_ratio), 4)
+                s = jnp.mean(y, axis=(1, 2))
+                s = nn.relu(nn.Dense(se_ch, name=f"b{i}_se_reduce")(s))
+                s = nn.sigmoid(nn.Dense(inner, name=f"b{i}_se_expand")(s))
+                y = y * s[:, None, None, :]
+            y = nn.Conv(ch, (1, 1), use_bias=False,
+                        name=f"b{i}_project")(y)
+            y = norm(y, ch, f"b{i}_project_norm")   # linear bottleneck
+            if stride == 1 and ch_in == ch:
+                y = y + x
+            x = y
+            ch_in = ch
+        x = nn.Conv(4 * ch_in, (1, 1), use_bias=False, name="conv_head")(x)
+        x = act(norm(x, 4 * ch_in, "norm_head"))
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(cfg.num_classes, name="classifier")(x)
+
+
+def mobilenet_v2(num_classes: int = 1000, **kw) -> MBConvNet:
+    return MBConvNet(MBConvConfig(num_classes=num_classes, **kw))
+
+
+def mobilenet_v3(num_classes: int = 1000, **kw) -> MBConvNet:
+    kw.setdefault("act", "hardswish")
+    return MBConvNet(MBConvConfig(num_classes=num_classes, **kw))
+
+
+def efficientnet_b0(num_classes: int = 1000, **kw) -> MBConvNet:
+    kw.setdefault("act", "silu")
+    plan = tuple((ch, st, t, True) for ch, st, t, _ in
+                 MBConvConfig().plan)
+    return MBConvNet(MBConvConfig(plan=plan, num_classes=num_classes,
+                                  **kw))
+
+
+def tiny_mbconv(num_classes: int = 10, act: str = "relu6") -> MBConvNet:
+    return MBConvNet(MBConvConfig(
+        plan=((16, 1, 1, False), (24, 2, 4, True), (24, 1, 4, True),
+              (48, 2, 4, True)),
+        stem_width=16, num_classes=num_classes, act=act))

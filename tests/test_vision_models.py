@@ -10,9 +10,12 @@ import jax.numpy as jnp
 
 import fp8tpu
 from fp8tpu.models import (DENSENET_EXEMPT, INCEPTION_EXEMPT,
-                           MOBILENET_EXEMPT, SHUFFLENET_EXEMPT,
-                           VGG_EXEMPT, tiny_densenet, tiny_inception,
-                           tiny_mobilenet, tiny_shufflenet, tiny_vgg)
+                           MBCONV_EXEMPT, MOBILENET_EXEMPT,
+                           RESNET_EXEMPT, SHUFFLENET_EXEMPT,
+                           SQUEEZENET_EXEMPT, VGG_EXEMPT, tiny_densenet,
+                           tiny_inception, tiny_mbconv, tiny_mobilenet,
+                           tiny_resnext, tiny_shufflenet,
+                           tiny_squeezenet, tiny_vgg)
 
 
 @pytest.mark.parametrize("make,exempt", [
@@ -21,6 +24,10 @@ from fp8tpu.models import (DENSENET_EXEMPT, INCEPTION_EXEMPT,
     (tiny_inception, INCEPTION_EXEMPT),
     (tiny_densenet, DENSENET_EXEMPT),
     (tiny_shufflenet, SHUFFLENET_EXEMPT),
+    (tiny_squeezenet, SQUEEZENET_EXEMPT),
+    (tiny_mbconv, MBCONV_EXEMPT),
+    (lambda n: tiny_mbconv(n, act="hardswish"), MBCONV_EXEMPT),
+    (tiny_resnext, RESNET_EXEMPT),
 ])
 def test_family_ptq_flow(rng, make, exempt):
     model = make(8)
@@ -89,3 +96,42 @@ def test_branchy_topologies_policy_resolution(rng):
                      if pol.resolve(n, k) is not None
                      and pol.resolve(n, k).wt is not None]
         assert len(quantized) >= 4, quantized
+
+
+def test_squeezenet_is_norm_free(rng):
+    """SqueezeNet fire modules carry bias and no norms (torchvision
+    squeezenet1_1): fold_batchnorm must be a no-op and PTQ must still
+    hold without BN-recalibration."""
+    from fp8tpu.ops.scale_shift import fold_batchnorm
+
+    model = tiny_squeezenet(8)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    assert not any("batch_stats" in str(p) for p, _ in flat)
+    folded = fold_batchnorm(variables)
+    # no norms → the param tree comes back equivalent
+    a = jax.tree_util.tree_leaves(variables)
+    b = jax.tree_util.tree_leaves(folded)
+    assert all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(a, b))
+
+
+def test_resnext_grouped_bottleneck_geometry(rng):
+    """tiny_resnext: the 3x3 runs grouped (groups=4) at base_width-scaled
+    inner width; grouped convs fall back to XLA under hw patching
+    (conv_patchable guard) while the 1x1s stay engine-eligible."""
+    import flax.linen as nn
+    from fp8tpu.quant.hw_patch import conv_patchable
+
+    model = tiny_resnext(8)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    k = variables["params"]["stage0_block0"]["conv2"]["kernel"]
+    # inner = 16 * (32/64) * 4 = 32 channels; grouped kernel has
+    # in-dim inner/groups = 8
+    assert k.shape == (3, 3, 8, 32), k.shape
+    grouped = nn.Conv(32, (3, 3), feature_group_count=4, use_bias=False)
+    assert not conv_patchable(grouped.bind({}))
+    out = model.apply(variables, x)
+    assert out.shape == (2, 8)
