@@ -235,6 +235,47 @@ def _cast_rebias(x, fmt: FPFormat, mode, scale, random_bits):
     return _from_f16_bits(out, inv)
 
 
+def _cast_e4m3_v2(x, mode, scale, random_bits):
+    """E4M3 "v2" (the reference's dead CUDA-only ``E4M3v2_Kernel``,
+    fpemu_kernels.cu:770-875) — jittable twin of golden.cast_e4m3_v2:
+    raw fp16 exponent kept, 3 mantissa bits, everything ``|x| >= 1.0``
+    (inf/NaN included) saturated to ±0.9375 before rounding."""
+    fmt = FORMATS["e4m3"]  # shares E4M3's GRS geometry
+    scale, inv = _prep_scale(scale, x)
+    h = _to_f16_bits(x, scale)
+
+    exp = ((h >> 10) & 0x1F) - 15
+    sign = h & 0x8000
+    mant = h & 0x03FF
+    can_round = (h & 0x7FFF) < 0x4B80          # |fp16| < 15.0
+    exp_field = h & 0x7C00
+    is_normal = (exp_field <= 0x7800) & (exp_field >= 0x0400)
+    is_denorm = exp_field == 0
+    is_naninf = exp_field == 0x7C00
+    positive = sign == 0
+
+    sat = exp > -1
+    mant = jnp.where(sat, 0x0380, mant)
+    exp = jnp.where(sat, -1, exp)
+    can_round = can_round & (~sat)
+
+    rnmask = mant & fmt.cast_grs_mask
+    rntie = mant & fmt.cast_tie_mask
+    if mode == RoundMode.STOCHASTIC:
+        rne_incr = _nearest_increment(RoundMode.RNE, rnmask, rntie,
+                                      positive, fmt)
+        rand = random_bits.astype(jnp.int32) & fmt.cast_grs_mask
+        incr = (
+            jnp.where(is_normal, rand, 0) + jnp.where(is_denorm, rne_incr, 0)
+        )
+    else:
+        incr = _nearest_increment(mode, rnmask, rntie, positive, fmt)
+    mant = jnp.where(can_round & (~is_naninf), mant + incr, mant)
+    mant = mant & 0xFF80
+    out = (mant + ((exp + 15) << 10)) | sign
+    return _from_f16_bits(out, inv)
+
+
 def _cast_bfloat16(x, mode, random_bits):
     # uint32 arithmetic wraps mod 2^32, matching the reference's C unsigned
     # int pipeline (x64 is disabled, so int64 is unavailable under jit).
@@ -480,6 +521,8 @@ def cast_array(x, scale, random_bits, fmt_name: str, mode: RoundMode,
             raise ValueError("e5m2_flex implements RNE only "
                              "(fpemu_impl.cpp:537-593)")
         return _cast_e5m2_flex(x, scale)
+    if fmt_name == "e4m3_v2":
+        return _cast_e4m3_v2(x, mode, scale, random_bits)
     fmt = FORMATS[fmt_name]
     if fmt_name == "e5m2":
         return _cast_e5m2(x, mode, scale, daz, random_bits)
@@ -537,10 +580,21 @@ def qdq_mode_string(
 ) -> jax.Array:
     """Reference-ABI entry point (mode strings like ``E5M2_DAZ_RNE``;
     plus ``E5M2_NOINF_RNE`` / ``E5M2_FLEX_RNE`` for the reference's
-    out-of-ABI L0 variants, fpemu_impl.cpp:460-593)."""
+    out-of-ABI L0 variants, fpemu_impl.cpp:460-593, and
+    ``E4M3_V2_<mode>`` for the dead CUDA-only E4M3v2_Kernel,
+    fpemu_kernels.cu:770-875)."""
     ml = mode.lower()
     if ml in ("e5m2_noinf_rne", "e5m2_flex_rne"):
         return cast_array(x, scale, None, ml[:-4], RoundMode.RNE)
+    if ml.startswith("e4m3_v2_"):
+        rmode = RoundMode[ml[len("e4m3_v2_"):].upper()]
+        x = jnp.asarray(x)
+        if rmode == RoundMode.STOCHASTIC and random_bits is None:
+            if key is None:
+                raise ValueError(
+                    "stochastic rounding requires key or random_bits")
+            random_bits = sr_bits(key, x.shape)
+        return cast_array(x, scale, random_bits, "e4m3_v2", rmode)
     fmt, rmode, daz = parse_mode_string(mode)
     return qdq(x, fmt, rmode, scale, daz, key, random_bits)
 

@@ -284,6 +284,60 @@ def cast_e3m4(x, mode=RoundMode.RNE, scale=1.0, random_bits=None):
     return _cast_rebias(x, E3M4, mode, scale, random_bits)
 
 
+def cast_e4m3_v2(x, mode=RoundMode.RNE, scale=1.0, random_bits=None):
+    """E4M3 "v2" variant (CUDA-only ``E4M3v2_Kernel``,
+    fpemu_kernels.cu:770-875): a unit-interval E4M3 experiment that
+    keeps the raw fp16 exponent (no rebias, no flush, no denormal
+    pre-truncation), truncates to 3 mantissa bits, and hard-saturates
+    every ``|fp16(x*scale)| >= 1.0`` — fp16 inf/NaN included — to
+    ±0.9375 (exponent field 14, mantissa 0x380).
+
+    Dead code in the reference: the kernel is never instantiated (no
+    ``E4M3v2_Kernel<<<...>>>`` launch exists and no mode string reaches
+    it from ``fpemu_cuda_forward``); implemented for L0-surface
+    completeness and exposed as ``E4M3_V2_<mode>`` from
+    :func:`cast_mode_string`, like the out-of-ABI E5M2 noINF/flex
+    variants.
+
+    Bit-faithful quirks preserved: a value just below 1.0 can ROUND to
+    exactly 1.0 (the saturation check precedes rounding, and the
+    rounding carry ripples into the exponent field); stochastic
+    rounding adds 7 random bits for fp16 normals and falls back to RNE
+    for fp16 denormals; deterministic modes round denormals on the
+    same GRS window as normals (no normal gate)."""
+    fmt = E4M3  # shares E4M3's GRS geometry: lshift 7, grs 0x7F, tie 0xC0
+    h = _to_f16_bits(x, scale)
+    exp = ((h >> 10) & 0x1F) - 15
+    sign = h & 0x8000
+    mant = h & 0x03FF
+    can_round = (h & 0x7FFF) < 0x4B80          # |fp16| < 15.0
+    exp_field = h & 0x7C00
+    is_normal = (exp_field <= 0x7800) & (exp_field >= 0x0400)
+    is_denorm = exp_field == 0
+    is_naninf = exp_field == 0x7C00
+    positive = sign == 0
+
+    sat = exp > -1                              # |x| >= 1.0 (inf/NaN too)
+    mant = np.where(sat, 0x0380, mant)
+    exp = np.where(sat, -1, exp)
+    can_round = can_round & ~sat
+
+    rnmask = mant & fmt.cast_grs_mask
+    rntie = mant & fmt.cast_tie_mask
+    if mode == RoundMode.STOCHASTIC:
+        assert random_bits is not None, "stochastic rounding needs random bits"
+        rne_incr = _nearest_increment(RoundMode.RNE, rnmask, rntie,
+                                      positive, fmt)
+        rand = random_bits.astype(np.int32) & fmt.cast_grs_mask
+        incr = np.where(is_normal, rand, 0) + np.where(is_denorm, rne_incr, 0)
+    else:
+        incr = _nearest_increment(mode, rnmask, rntie, positive, fmt)
+    mant = np.where(can_round & ~is_naninf, mant + incr, mant)
+    mant = mant & 0xFF80                        # (0xFFFF << 7), carry kept
+    out = (mant + ((exp + 15) << 10)) | sign
+    return _from_f16_bits(out, 1.0 / np.float32(scale))
+
+
 def cast_bfloat16(
     x: np.ndarray,
     mode: RoundMode = RoundMode.RNE,
@@ -460,12 +514,16 @@ def cast_mode_string(
     """Reference-ABI entry point taking mode strings like ``E4M3_RNE``
     (fpemu_forward, fpemu_impl.cpp:2013-2028).  ``E5M2_NOINF_RNE`` /
     ``E5M2_FLEX_RNE`` name the reference's out-of-ABI L0 variants
-    (fpemu_impl.cpp:460-593)."""
+    (fpemu_impl.cpp:460-593); ``E4M3_V2_<mode>`` names the dead
+    CUDA-only E4M3v2_Kernel (fpemu_kernels.cu:770-875)."""
     ml = mode.lower()
     if ml == "e5m2_noinf_rne":
         return cast_e5m2_noinf(x, scale)
     if ml == "e5m2_flex_rne":
         return cast_e5m2_flex(x, scale)
+    if ml.startswith("e4m3_v2_"):
+        rmode = RoundMode[ml[len("e4m3_v2_"):].upper()]
+        return cast_e4m3_v2(x, rmode, scale, random_bits)
     fmt, rmode, daz = parse_mode_string(mode)
     if block_norm:
         return cast_blocked(x, fmt, rmode, block_size, daz, random_bits)
