@@ -56,6 +56,13 @@ MODELS = {
     "large": dict(n_layers=12, d_model=768, n_heads=12, n_kv_heads=4,
                   d_ff=2304, vocab=256, seq=256, corpus=32768,
                   default_steps=3000, default_lr=1e-3),
+    # ~200M-class (VERDICT r2 missing #1: "a 100-200M-param decoder
+    # trained to real convergence").  Bigger corpus + vocab so the run
+    # is not instantly memorized; lr follows the 83M finding (NOTES r3:
+    # 3e-3 destabilizes fp8 at scale).
+    "xl": dict(n_layers=16, d_model=1024, n_heads=16, n_kv_heads=8,
+               d_ff=3072, vocab=512, seq=256, corpus=65536,
+               default_steps=4000, default_lr=6e-4),
 }
 
 
