@@ -38,6 +38,10 @@ class DecoderConfig:
     norm_eps: float = 1e-5
     dtype: str = "bfloat16"
     tie_embeddings: bool = True
+    # Rematerialize each decoder layer in the backward pass
+    # (jax.checkpoint): activations per layer are recomputed instead of
+    # stashed — the standard HBM lever for long-sequence training.
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -158,8 +162,9 @@ class Decoder(nn.Module):
         emb = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=dt,
                        name="embed")
         h = emb(tokens)
+        layer_cls = nn.remat(DecoderLayer) if cfg.remat else DecoderLayer
         for i in range(cfg.n_layers):
-            h = DecoderLayer(cfg, name=f"layer_{i}")(h, positions, mask)
+            h = layer_cls(cfg, name=f"layer_{i}")(h, positions, mask)
         h = RMSNorm(cfg.norm_eps, name="final_norm")(h)
         if cfg.tie_embeddings:
             logits = emb.attend(h.astype(dt))

@@ -1,5 +1,16 @@
-"""Mesh construction and sharding rules (DP / TP / SP over ICI)."""
+"""Mesh construction and sharding rules (DP / TP / SP / PP / EP)."""
 
+from .moe import (  # noqa: F401
+    moe_ffn,
+    quantize_expert_weights,
+    top_k_routing,
+)
+from .pipeline import (  # noqa: F401
+    make_pp_mesh,
+    pipeline_apply,
+    stack_stage_params,
+    stage_param_sharding,
+)
 from .sharding import (  # noqa: F401
     DECODER_PARAM_RULES,
     KV_CACHE_SPEC,
