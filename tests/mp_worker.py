@@ -90,4 +90,48 @@ tot = shard_map(lambda a: jax.lax.psum(jnp.sum(a), ("host", "data")),
                 out_specs=P())(ones)
 assert float(np.asarray(tot)) == 4 * nproc * 8, tot
 
-print(f"proc {pid}: OK (tp rel err {err:.4f})", flush=True)
+# pipeline parallelism with one stage per HOST: activations hop the
+# process (DCN) boundary via ppermute, forward and backward
+from fp8tpu.parallel.pipeline import (  # noqa: E402
+    make_pp_mesh, pipeline_apply)
+
+pp_mesh = make_pp_mesh(nproc, 4)
+D = 16
+ws = (rng.standard_normal((nproc, D, D)) * 0.2).astype(np.float32)
+xp = rng.standard_normal((8, D)).astype(np.float32)
+
+
+def pput(arr, spec):
+    sh = NamedSharding(pp_mesh, spec)
+    return jax.make_array_from_callback(arr.shape, sh, lambda i: arr[i])
+
+
+def stage_fn(p, h):
+    return jnp.tanh(h @ p["w"])
+
+
+wsg = pput(ws, P("stage", None, None))
+xpg = pput(xp, P("data"))
+
+
+def pp_loss(w, xv):
+    y = pipeline_apply(stage_fn, {"w": w}, xv, pp_mesh, n_microbatches=2)
+    return jnp.mean(y ** 2), y
+
+
+(pl, yg), gw = jax.jit(jax.value_and_grad(pp_loss, has_aux=True))(wsg, xpg)
+
+href = xp
+for i in range(nproc):
+    href = np.tanh(href @ ws[i])
+# only process-local shards are addressable: compare each against its
+# slice of the dense reference
+pp_err = max(
+    float(np.abs(np.asarray(sh.data) - href[sh.index]).max())
+    for sh in yg.addressable_shards)
+assert pp_err < 1e-5, f"cross-host pipeline parity failed: {pp_err}"
+assert all(np.isfinite(np.asarray(sh.data)).all()
+           for sh in gw.addressable_shards)
+
+print(f"proc {pid}: OK (tp rel err {err:.4f}, pp err {pp_err:.2e})",
+      flush=True)
