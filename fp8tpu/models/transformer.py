@@ -42,6 +42,12 @@ class DecoderConfig:
     # (jax.checkpoint): activations per layer are recomputed instead of
     # stashed — the standard HBM lever for long-sequence training.
     remat: bool = False
+    # Mixture-of-experts FFN: n_experts > 0 replaces the dense MLP with
+    # GShard-style capacity-bounded top-k routing (experts shardable
+    # over the mesh — see parallel/moe.py and MOE_PARAM_RULES).
+    n_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @property
     def head_dim(self) -> int:
@@ -133,6 +139,55 @@ class MLP(nn.Module):
                         name="down_proj")(nn.silu(gate) * up)
 
 
+class MoEMLP(nn.Module):
+    """Mixture-of-experts FFN (GShard-style capacity-bounded top-k
+    routing; ``parallel/moe.py`` holds the routing math).  The expert
+    contractions go through the :class:`BatchMatmul` wrapper, so the
+    quantization interceptor covers them with the standard
+    batchmatmul-input policy — the same mechanism the reference applies
+    to BERT's attention matmuls.  The router aux load-balancing loss is
+    sown into the ``intermediates`` collection (retrieve with
+    ``model.apply(..., mutable=["intermediates"])``; ignored silently
+    otherwise)."""
+
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x):
+        from fp8tpu.parallel.moe import top_k_routing
+
+        cfg = self.cfg
+        dt = cfg.jdtype()
+        B, S, Dm = x.shape
+        E, F = cfg.n_experts, cfg.d_ff
+        xt = x.reshape(B * S, Dm)
+        T = B * S
+        capacity = max(
+            int(cfg.moe_capacity_factor * cfg.moe_top_k * T / E),
+            cfg.moe_top_k)
+
+        logits = nn.Dense(E, use_bias=False, dtype=jnp.float32,
+                          name="router")(xt.astype(jnp.float32))
+        dispatch, combine, aux = top_k_routing(logits, cfg.moe_top_k,
+                                               capacity)
+        self.sow("intermediates", "moe_aux_loss", aux)
+
+        up = self.param(
+            "up", nn.initializers.normal(Dm ** -0.5), (E, Dm, F),
+            jnp.float32)
+        down = self.param(
+            "down", nn.initializers.normal(F ** -0.5), (E, F, Dm),
+            jnp.float32)
+
+        xe = jnp.einsum("tec,td->ecd", dispatch,
+                        xt.astype(jnp.float32)).astype(dt)
+        h = BatchMatmul(name="experts_up")(xe, up.astype(dt))
+        h = jax.nn.gelu(h.astype(jnp.float32)).astype(dt)
+        ye = BatchMatmul(name="experts_down")(h, down.astype(dt))
+        y = jnp.einsum("ecd,tec->td", ye.astype(jnp.float32), combine)
+        return y.reshape(B, S, Dm).astype(x.dtype)
+
+
 class DecoderLayer(nn.Module):
     cfg: DecoderConfig
 
@@ -140,8 +195,9 @@ class DecoderLayer(nn.Module):
     def __call__(self, x, positions, mask):
         h = x + Attention(self.cfg, name="attn")(
             RMSNorm(self.cfg.norm_eps, name="attn_norm")(x), positions, mask)
-        h = h + MLP(self.cfg, name="mlp")(
-            RMSNorm(self.cfg.norm_eps, name="mlp_norm")(h))
+        ffn = (MoEMLP(self.cfg, name="moe") if self.cfg.n_experts > 0
+               else MLP(self.cfg, name="mlp"))
+        h = h + ffn(RMSNorm(self.cfg.norm_eps, name="mlp_norm")(h))
         return h
 
 

@@ -13,6 +13,7 @@ from .pipeline import (  # noqa: F401
 )
 from .sharding import (  # noqa: F401
     DECODER_PARAM_RULES,
+    MOE_PARAM_RULES,
     KV_CACHE_SPEC,
     KV_SCALE_SPEC,
     SERVE_PARAM_RULES,

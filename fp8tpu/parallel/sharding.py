@@ -62,6 +62,15 @@ DECODER_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     ("*", P()),                                     # norms etc. replicate
 )
 
+# MoE decoder (DecoderConfig.n_experts > 0): experts shard over the
+# ``model`` axis (expert parallelism — parallel/moe.py); the router
+# replicates.  Dense layers keep the Megatron TP rules above.
+MOE_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
+    ("*/moe/up", P("model", None, None)),
+    ("*/moe/down", P("model", None, None)),
+    ("*/moe/router/kernel", P()),
+) + DECODER_PARAM_RULES
+
 # -- Serving params (stacked (L, K, N) payloads + (L, N) scales) ----------
 SERVE_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     ("embed", P("model", None)),
