@@ -23,7 +23,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 import fp8tpu
 from fp8tpu.models import Decoder, DecoderConfig
-from fp8tpu.parallel import DECODER_PARAM_RULES, make_mesh, shard_params
+from fp8tpu.parallel import (DECODER_PARAM_RULES, MOE_PARAM_RULES,
+                            make_mesh, shard_params)
 from fp8tpu.training import init_train_state, make_train_step
 from fp8tpu.utils import MetricLogger, save_checkpoint, restore_checkpoint
 
@@ -44,6 +45,10 @@ def main():
     p.add_argument("--n-layers", type=int, default=4)
     p.add_argument("--data-parallel", type=int, default=1)
     p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--n-experts", type=int, default=0,
+                   help="MoE FFN with this many experts (0 = dense MLP)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize decoder layers (jax.checkpoint)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume-step", type=int, default=None)
     args = p.parse_args()
@@ -52,7 +57,8 @@ def main():
         vocab_size=2048, d_model=args.d_model, n_layers=args.n_layers,
         n_heads=max(4, args.d_model // 64),
         n_kv_heads=max(4, args.d_model // 64),
-        d_ff=args.d_model * 3, max_seq_len=args.seq_len)
+        d_ff=args.d_model * 3, max_seq_len=args.seq_len,
+        n_experts=args.n_experts, remat=args.remat)
     model = Decoder(cfg)
 
     key = jax.random.key(0)
@@ -75,7 +81,8 @@ def main():
 
     # Shard over whatever devices exist (dp × tp).
     mesh = make_mesh(data=args.data_parallel, model=args.model_parallel)
-    variables = shard_params(variables, mesh, DECODER_PARAM_RULES)
+    rules = MOE_PARAM_RULES if args.n_experts else DECODER_PARAM_RULES
+    variables = shard_params(variables, mesh, rules)
     opt_state = init_train_state(optimizer, variables)
     batch_sh = NamedSharding(mesh, P("data", None))
 
