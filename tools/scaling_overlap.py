@@ -160,6 +160,20 @@ def main():
         print(f"[dp] {n} hosts FP8-grad all-reduce over DCN: "
               f"projected efficiency {eff:.1%} (target >= 85%)")
     results["dp_projection"] = dp
+
+    # pipeline parallelism (parallel/pipeline.py): GPipe bubble fraction
+    # = (S-1)/(M+S-1); activations-hop bytes per tick are tiny next to
+    # stage compute, so the bubble dominates projected PP efficiency.
+    pp = {}
+    for S, M in ((2, 8), (2, 32), (4, 16), (4, 64), (8, 32)):
+        eff = M / (M + S - 1)
+        pp[f"pp{S}_micro{M}_eff"] = round(eff, 3)
+        print(f"[pp] {S} stages x {M} microbatches: GPipe bubble "
+              f"efficiency {eff:.1%}")
+    pp["note"] = ("bubble-only model; hop bytes (B/M*d_model*2) per tick "
+                  "are <1% of stage MXU time at decoder shapes. "
+                  ">=85% needs M >= 6*(S-1).")
+    results["pp_projection"] = pp
     results["assumptions"] = {
         "mxu_bf16_flops": MXU_BF16_FLOPS, "mxu_mfu": MXU_MFU,
         "hbm_gbps": HBM_GBPS, "ici_gbps_per_link_dir": ICI_GBPS,
