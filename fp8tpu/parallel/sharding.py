@@ -81,6 +81,12 @@ SERVE_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     ("gate8", P(None, None, "model")), ("gates", P(None, "model")),
     ("up8", P(None, None, "model")), ("ups", P(None, "model")),
     ("down8", P(None, "model", None)), ("downs", P(None, None)),
+    # MoE serving artifact (L, E, K, N) expert stacks: experts over the
+    # model axis (expert parallelism); router replicates.
+    ("router", P()),
+    ("eup8", P(None, "model", None, None)), ("eups", P(None, "model", None)),
+    ("edown8", P(None, "model", None, None)),
+    ("edowns", P(None, "model", None)),
     ("*", P()),
 )
 

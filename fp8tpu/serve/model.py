@@ -220,8 +220,13 @@ def convert_decoder_params(variables, cfg: DecoderConfig,
                            embed_fmt: str = "bf16",
                            int4_group: Optional[int] = 128) -> Dict:
     """Quantize trained Decoder params (fp8tpu.models.transformer) into the
-    serving artifact: stacked per-layer fp8 payloads + scales."""
+    serving artifact: stacked per-layer fp8 payloads + scales.  MoE
+    decoders (cfg.n_experts > 0) stack router kernels bf16 and quantize
+    the (E, K, N) expert up/down stacks per-expert per-output-channel
+    (the decode paths combine ALL experts with exact top-k gates — see
+    :func:`_moe_ffn`)."""
     p = variables["params"]
+    moe = "moe" in p.get("layer_0", {})
 
     def q(w):  # (K, N)
         if fmt == "bf16":
@@ -232,9 +237,13 @@ def convert_decoder_params(variables, cfg: DecoderConfig,
         payload, s = quantize_weights(w, fmt, axis=-1)
         return payload, s.reshape(-1)
 
+    mlp_keys = (("mlp_norm", "router", "eup8", "eups", "edown8", "edowns")
+                if moe else
+                ("mlp_norm", "gate8", "gates", "up8", "ups",
+                 "down8", "downs"))
     layers = {k: [] for k in
-              ("attn_norm", "mlp_norm", "q8", "qs", "k8", "ks", "v8", "vs",
-               "o8", "os", "gate8", "gates", "up8", "ups", "down8", "downs")}
+              ("attn_norm", "q8", "qs", "k8", "ks", "v8", "vs",
+               "o8", "os") + mlp_keys}
     for i in range(cfg.n_layers):
         lp = p[f"layer_{i}"]
         layers["attn_norm"].append(lp["attn_norm"]["scale"])
@@ -246,13 +255,23 @@ def convert_decoder_params(variables, cfg: DecoderConfig,
             payload, s = q(lp["attn"][name]["kernel"])
             layers[tag8].append(payload)
             layers[tags].append(s)
-        for name, (tag8, tags) in {
-            "gate_proj": ("gate8", "gates"), "up_proj": ("up8", "ups"),
-            "down_proj": ("down8", "downs"),
-        }.items():
-            payload, s = q(lp["mlp"][name]["kernel"])
-            layers[tag8].append(payload)
-            layers[tags].append(s)
+        if moe:
+            mp = lp["moe"]
+            layers["router"].append(
+                mp["router"]["kernel"].astype(jnp.bfloat16))
+            for name, (tag8, tags) in {"up": ("eup8", "eups"),
+                                       "down": ("edown8", "edowns")}.items():
+                payload, s = jax.vmap(q)(mp[name])    # over the E axis
+                layers[tag8].append(payload)
+                layers[tags].append(s)
+        else:
+            for name, (tag8, tags) in {
+                "gate_proj": ("gate8", "gates"), "up_proj": ("up8", "ups"),
+                "down_proj": ("down8", "downs"),
+            }.items():
+                payload, s = q(lp["mlp"][name]["kernel"])
+                layers[tag8].append(payload)
+                layers[tags].append(s)
 
     out = {k: jnp.stack(v) for k, v in layers.items()}
     emb = p["embed"]["embedding"]
@@ -307,13 +326,28 @@ def random_serve_params(cfg: DecoderConfig, fmt: str = "e4m3",
         "k8": w(ks[1], Dm, KVD), "ks": sc(Dm, KVD),
         "v8": w(ks[2], Dm, KVD), "vs": sc(Dm, KVD),
         "o8": w(ks[3], HD, Dm), "os": sc(HD, Dm),
-        "gate8": w(ks[4], Dm, FF), "gates": sc(Dm, FF),
-        "up8": w(ks[5], Dm, FF), "ups": sc(Dm, FF),
-        "down8": w(ks[6], FF, Dm), "downs": sc(FF, Dm),
         "embed": jax.random.normal(ks[7], (cfg.vocab_size, Dm),
                                    jnp.bfloat16) * 0.02,
         "final_norm": jnp.ones((Dm,), jnp.float32),
     }
+    if cfg.n_experts > 0:
+        E = cfg.n_experts
+        out["router"] = (jax.random.normal(ks[4], (L, Dm, E), jnp.bfloat16)
+                         * Dm ** -0.5)
+
+        def estack(a):  # (L, K, N) → (L, E, K, N); bench values may repeat
+            return jnp.broadcast_to(a[:, None], (L, E) + a.shape[1:])
+
+        out["eup8"], out["eups"] = estack(w(ks[5], Dm, FF)), \
+            estack(sc(Dm, FF))
+        out["edown8"], out["edowns"] = estack(w(ks[6], FF, Dm)), \
+            estack(sc(FF, Dm))
+    else:
+        out.update({
+            "gate8": w(ks[4], Dm, FF), "gates": sc(Dm, FF),
+            "up8": w(ks[5], Dm, FF), "ups": sc(Dm, FF),
+            "down8": w(ks[6], FF, Dm), "downs": sc(FF, Dm),
+        })
     if embed_fmt != "bf16":
         if embed_fmt == "int8":
             out["embed"] = jax.random.randint(
@@ -331,12 +365,63 @@ def _make_linear(cfg: "ServeConfig"):
     return lambda x, w, s, impl=cfg.matmul_impl: fp8_linear(x, w, s, impl)
 
 
+_ATTN_KEYS = ("attn_norm", "q8", "qs", "k8", "ks", "v8", "vs", "o8", "os")
+_DENSE_MLP_KEYS = ("mlp_norm", "gate8", "gates", "up8", "ups",
+                   "down8", "downs")
+_MOE_KEYS = ("mlp_norm", "router", "eup8", "eups", "edown8", "edowns")
+
+
 def _layer_xs(params):
-    return (params["attn_norm"], params["mlp_norm"],
-            params["q8"], params["qs"], params["k8"], params["ks"],
-            params["v8"], params["vs"], params["o8"], params["os"],
-            params["gate8"], params["gates"], params["up8"], params["ups"],
-            params["down8"], params["downs"])
+    """Per-layer scan inputs as a dict pytree: attention keys plus either
+    the dense-SwiGLU keys or (MoE artifacts) the router/expert keys."""
+    keys = _ATTN_KEYS + (_MOE_KEYS if "router" in params
+                         else _DENSE_MLP_KEYS)
+    return {k: params[k] for k in keys}
+
+
+def _attn_xs(xs):
+    return tuple(xs[k] for k in _ATTN_KEYS)
+
+
+def _moe_ffn(x, xs, mcfg: DecoderConfig, linear):
+    """Serving-form MoE FFN: exact top-k combine over ALL experts.
+
+    Unlike the training form's capacity-bounded GShard dispatch
+    (parallel/moe.py::top_k_routing — a *training-throughput* device that
+    drops overflow tokens), inference computes every expert on every
+    token and combines with the top-k router probabilities: at decode
+    batch sizes the step is weight-bytes-bound, and all E expert payloads
+    stream from HBM either way, so the extra FLOPs are free while the
+    gather/scatter bookkeeping is not.  Expert payloads reuse the exact
+    per-format ``linear`` (fp8/int8/int4-grouped/bf16) vmapped over the
+    expert axis.  x: (..., Dm) bf16 → (..., Dm)."""
+    shp = x.shape
+    xt = x.reshape(-1, shp[-1])                               # (T, Dm)
+    logits = xt.astype(jnp.float32) @ xs["router"].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)                   # (T, E)
+    E = probs.shape[-1]
+    gv, gi = jax.lax.top_k(probs, min(mcfg.moe_top_k, E))     # (T, k)
+    # raw (un-renormalized) top-k gates — matches top_k_routing's combine
+    gates = jnp.sum(jax.nn.one_hot(gi, E, dtype=jnp.float32)
+                    * gv[..., None], axis=1)                  # (T, E)
+    he = jax.vmap(lambda w, s: linear(xt, w, s))(
+        xs["eup8"], xs["eups"])                               # (E, T, F)
+    he = jax.nn.gelu(he.astype(jnp.float32)).astype(xt.dtype)
+    ye = jax.vmap(lambda a, w, s: linear(a, w, s))(
+        he, xs["edown8"], xs["edowns"])                       # (E, T, Dm)
+    y = jnp.einsum("etd,te->td", ye.astype(jnp.float32), gates)
+    return y.reshape(shp).astype(x.dtype)
+
+
+def _ffn_block(h, xs, mcfg: DecoderConfig, linear):
+    """Post-attention FFN with residual: dense SwiGLU, or MoE when the
+    layer carries router/expert payloads."""
+    x = _rms(h, xs["mlp_norm"], mcfg.norm_eps)
+    if "router" in xs:
+        return h + _moe_ffn(x, xs, mcfg, linear)
+    act = jax.nn.silu(linear(x, xs["gate8"], xs["gates"]).astype(
+        jnp.float32)).astype(x.dtype) * linear(x, xs["up8"], xs["ups"])
+    return h + linear(act, xs["down8"], xs["downs"])
 
 
 def _attend_ring(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs, head, lens,
@@ -486,8 +571,7 @@ def _steps_impl(params: Dict, ring: RingKVCache, tokens: jax.Array,
 
         def layer_step(lcarry, xs):
             h, li = lcarry
-            (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
-             gate8, gates, up8, ups, down8, downs) = xs
+            attn_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw = _attn_xs(xs)
 
             x = _rms(h, attn_norm, mcfg.norm_eps)
             q = linear(x, q8, qs).reshape(B, H, D)
@@ -503,11 +587,7 @@ def _steps_impl(params: Dict, ring: RingKVCache, tokens: jax.Array,
                                kv8[:, 1, li], sc[:, 1, li], head, lens,
                                mcfg)
             h = h + linear(ctx, o8, osw)
-
-            x = _rms(h, mlp_norm, mcfg.norm_eps)
-            act = jax.nn.silu(linear(x, gate8, gates).astype(
-                jnp.float32)).astype(x.dtype) * linear(x, up8, ups)
-            h = h + linear(act, down8, downs)
+            h = _ffn_block(h, xs, mcfg, linear)
             return (h, li + 1), (kq8.reshape(BK, D), kqs.reshape(BK),
                                  vq8.reshape(BK, D), vqs.reshape(BK))
 
@@ -611,8 +691,8 @@ def _steps_impl_sideflush(params: Dict, ring: RingKVCache,
 
             def layer_step(lcarry, xs):
                 h, li = lcarry
-                (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
-                 gate8, gates, up8, ups, down8, downs) = xs
+                (attn_norm, q8, qs, k8w, ksw, v8w, vsw, o8,
+                 osw) = _attn_xs(xs)
 
                 x = _rms(h, attn_norm, mcfg.norm_eps)
                 q = linear(x, q8, qs).reshape(B, H, D)
@@ -630,11 +710,7 @@ def _steps_impl_sideflush(params: Dict, ring: RingKVCache,
                     sk8=side8[:, 0, li], sks=ssc[:, 0, li],
                     sv8=side8[:, 1, li], svs=ssc[:, 1, li], w=w)
                 h = h + linear(ctx, o8, osw)
-
-                x = _rms(h, mlp_norm, mcfg.norm_eps)
-                act = jax.nn.silu(linear(x, gate8, gates).astype(
-                    jnp.float32)).astype(x.dtype) * linear(x, up8, ups)
-                h = h + linear(act, down8, downs)
+                h = _ffn_block(h, xs, mcfg, linear)
                 return (h, li + 1), (kq8.reshape(BK, D), kqs.reshape(BK),
                                      vq8.reshape(BK, D), vqs.reshape(BK))
 
@@ -758,8 +834,7 @@ def _dense_forward(params, toks: jax.Array, cfg: "ServeConfig"):
 
     def layer_step(carry, xs):
         h, li = carry
-        (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
-         gate8, gates, up8, ups, down8, downs) = xs
+        attn_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw = _attn_xs(xs)
 
         x = _rms(h, attn_norm, mcfg.norm_eps)
         q = linear(x, q8, qs).reshape(N, Sp, H, D)
@@ -781,11 +856,7 @@ def _dense_forward(params, toks: jax.Array, cfg: "ServeConfig"):
         ctx = jnp.einsum("nskgt,ntkd->nskgd", probs, v.astype(jnp.float32))
         ctx = ctx.reshape(N, Sp, H * D).astype(jnp.bfloat16)
         h = h + linear(ctx, o8, osw)
-
-        x = _rms(h, mlp_norm, mcfg.norm_eps)
-        act = jax.nn.silu(linear(x, gate8, gates).astype(
-            jnp.float32)).astype(x.dtype) * linear(x, up8, ups)
-        h = h + linear(act, down8, downs)
+        h = _ffn_block(h, xs, mcfg, linear)
         return (h, li + 1), (kq8, kqs[..., 0], vq8, vqs[..., 0])
 
     h = h.astype(jnp.bfloat16)
@@ -1009,8 +1080,7 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
 
         def layer_step(lcarry, xs):
             h, li = lcarry
-            (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
-             gate8, gates, up8, ups, down8, downs) = xs
+            attn_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw = _attn_xs(xs)
 
             x = _rms(h, attn_norm, mcfg.norm_eps)
             q = linear(x, q8, qs).reshape(B, H, D)
@@ -1029,11 +1099,7 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
                 sk8=side8[:, 0, li], sks=side_sc[:, 0, li],
                 sv8=side8[:, 1, li], svs=side_sc[:, 1, li], w=w)
             h = h + linear(ctx, o8, osw)
-
-            x = _rms(h, mlp_norm, mcfg.norm_eps)
-            act = jax.nn.silu(linear(x, gate8, gates).astype(
-                jnp.float32)).astype(x.dtype) * linear(x, up8, ups)
-            h = h + linear(act, down8, downs)
+            h = _ffn_block(h, xs, mcfg, linear)
             return (h, li + 1), (kq8, kqs[..., 0], vq8, vqs[..., 0])
 
         (h, _), (fk8, fks, fv8, fvs) = jax.lax.scan(
@@ -1204,8 +1270,7 @@ def full_logits(params: Dict, tokens: jax.Array, cfg: ServeConfig
 
     def layer_step(carry, xs):
         h, li = carry
-        (attn_norm, mlp_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw,
-         gate8, gates, up8, ups, down8, downs) = xs
+        attn_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw = _attn_xs(xs)
 
         x = _rms(h, attn_norm, mcfg.norm_eps)
         q = linear(x, q8, qs).reshape(Sp, H, D)
@@ -1229,11 +1294,7 @@ def full_logits(params: Dict, tokens: jax.Array, cfg: ServeConfig
         ctx = jnp.einsum("skgt,tkd->skgd", probs, vd)
         ctx = ctx.reshape(Sp, H * D).astype(jnp.bfloat16)
         h = h + linear(ctx, o8, osw)
-
-        x = _rms(h, mlp_norm, mcfg.norm_eps)
-        act = jax.nn.silu(linear(x, gate8, gates).astype(
-            jnp.float32)).astype(x.dtype) * linear(x, up8, ups)
-        h = h + linear(act, down8, downs)
+        h = _ffn_block(h, xs, mcfg, linear)
         return (h, li + 1), ()
 
     h = h.astype(jnp.bfloat16)

@@ -200,6 +200,36 @@ def decode_variants():
     return out
 
 
+def moe_decode():
+    """MoE serving decode tok/s: 8-expert top-2 decoder (~2.4B total,
+    ~1B active) in fp8 vs its bf16 twin, plus the dense same-active-size
+    model for the capacity-cost ratio.  Decode streams ALL expert
+    payloads (exact top-k combine, serve/model._moe_ffn), so tok/s vs
+    the dense twin directly measures the E× FFN-bytes cost — the number
+    a capacity-planning user needs."""
+    import dataclasses
+
+    import bench as benchmod
+    from fp8tpu.models import DecoderConfig
+
+    dense = DecoderConfig(vocab_size=32768, d_model=2048, n_layers=12,
+                          n_heads=16, n_kv_heads=8, d_ff=5504,
+                          max_seq_len=1024)
+    moe = dataclasses.replace(dense, n_experts=8, moe_top_k=2)
+    out = {"experts": 8, "top_k": 2, "model": "d2048 L12 ff5504"}
+    out["moe_fp8_kvint8_tok_s"] = round(
+        benchmod.bench_variant("e4m3", "int8", cfg=moe, steps=128), 1)
+    out["moe_bf16_tok_s"] = round(
+        benchmod.bench_variant("bf16", "bf16", cfg=moe, steps=128), 1)
+    out["dense_fp8_kvint8_tok_s"] = round(
+        benchmod.bench_variant("e4m3", "int8", cfg=dense, steps=128), 1)
+    out["moe_fp8_vs_bf16"] = round(out["moe_fp8_kvint8_tok_s"]
+                                   / out["moe_bf16_tok_s"], 3)
+    out["moe_vs_dense_fp8"] = round(out["moe_fp8_kvint8_tok_s"]
+                                    / out["dense_fp8_kvint8_tok_s"], 3)
+    return out
+
+
 def _save(res):
     prev = {}
     if os.path.exists(OUT):
@@ -211,11 +241,12 @@ def _save(res):
 
 
 def main():
-    which = sys.argv[1:] or ["training", "mfu", "cast", "decode"]
+    which = sys.argv[1:] or ["training", "mfu", "cast", "decode", "moe"]
     sections = {"training": ("training", training_overhead),
                 "mfu": ("qdq_matmul", qdq_matmul_mfu),
                 "cast": ("cast", cast_bandwidth),
-                "decode": ("decode", decode_variants)}
+                "decode": ("decode", decode_variants),
+                "moe": ("moe", moe_decode)}
     for name in which:
         key, fn = sections[name]
         out = fn()
