@@ -40,7 +40,24 @@ def main():
     ap.add_argument("--num_samples", type=int, default=64)
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--data_npz", default=None)
+    ap.add_argument("--squad_json", default=None,
+                    help="real SQuAD v1.1/v2 JSON (needs --vocab)")
+    ap.add_argument("--vocab", default=None,
+                    help="BERT vocab.txt for --squad_json")
     args = ap.parse_args()
+
+    if args.squad_json:
+        # Real SQuAD through the native feature pipeline
+        # (run_squad.py:699-706 semantics) → the same npz tensors.
+        import tempfile
+
+        from fp8tpu.data.squad import squad_to_npz
+        if not args.vocab:
+            ap.error("--squad_json needs --vocab")
+        args.data_npz = tempfile.mktemp(suffix=".npz")
+        n = squad_to_npz(args.squad_json, args.vocab, args.data_npz,
+                         max_seq_length=args.seq_len, doc_stride=128)
+        print(f"converted {n} features from {args.squad_json}")
 
     cfg = tiny_bert(n_layers=args.layers)
     model = BertForQA(cfg)

@@ -83,6 +83,15 @@ def get_model(name: str, num_classes: int, norm_mode: str = "bn"):
 
 
 def load_data(args):
+    if args.imagenet_dir:
+        # Real ImageFolder tree through the reference's val transform
+        # (Resize 256 → CenterCrop 224 → normalize, imagenet_test.py:95-99).
+        from fp8tpu.data.imagenet import imagenet_val_batches
+        xs, ys = zip(*imagenet_val_batches(args.imagenet_dir,
+                                           batch_size=args.batch_size,
+                                           limit=args.num_samples))
+        return (jnp.asarray(np.concatenate(xs), jnp.float32),
+                jnp.asarray(np.concatenate(ys)))
     if args.data_npz:
         d = np.load(args.data_npz)
         return jnp.asarray(d["x"], jnp.float32), jnp.asarray(d["y"])
@@ -119,6 +128,9 @@ def main():
     p.add_argument("--num-classes", type=int, default=10)
     p.add_argument("--num-samples", type=int, default=256)
     p.add_argument("--data_npz", default=None)
+    p.add_argument("--imagenet_dir", default=None,
+                   help="ImageFolder val tree (class-per-folder); "
+                        "preprocessed with the reference's val transform")
     p.add_argument("--sweep", action="store_true",
                    help="sweep all dtypes (launch.py behavior)")
     args = p.parse_args()
@@ -145,6 +157,7 @@ def main():
                                 norm_mode="scale_shift")
         calib = [x[i * args.batch_size:(i + 1) * args.batch_size]
                  for i in range(args.num_calibration_batches)]
+        calib = [c for c in calib if c.shape[0] > 0]  # short datasets
         qm = fp8tpu.quantize_model(
             model, variables, (x[:2],), dtype=dtype, fuse_bn=True,
             inference_model=infer_model, calibration_batches=calib,

@@ -10,3 +10,7 @@ from .synthetic import (  # noqa: F401
     mixed_lm_corpus,
     pattern_images,
 )
+
+# Real-dataset pipelines (ImageNet folder trees, SQuAD JSON) live in
+# .imagenet / .squad — imported lazily so PIL stays optional.
+

@@ -119,8 +119,12 @@ def calibrate(
     acc = None
     for batch in batches:
         args = batch if isinstance(batch, tuple) else (batch,)
+        if any(hasattr(a, "size") and a.size == 0 for a in args):
+            continue  # empty tail batch: nothing to observe
         _, stats = run(variables, *args)
         acc = merge_stats(acc, stats, mode=mode, momentum=momentum)
+    if acc is None:
+        raise ValueError("calibrate() received no non-empty batches")
     return jax.tree.map(lambda x: x, acc)
 
 

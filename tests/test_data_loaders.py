@@ -1,0 +1,160 @@
+"""Real-dataset pipeline tests on generated fixtures: ImageFolder trees
+(PIL PNGs) and a handcrafted SQuAD JSON + vocab — the loaders the
+examples' --data_npz hook consumes when actual ImageNet/SQuAD are
+mounted (reference: imagenet_test.py transforms, run_squad.py feature
+conversion)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fp8tpu.data.imagenet import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    imagenet_to_npz,
+    imagenet_val_batches,
+    list_image_folder,
+    load_image_train,
+    load_image_val,
+)
+from fp8tpu.data.squad import (
+    WordPieceTokenizer,
+    convert_examples_to_features,
+    parse_squad_json,
+    squad_to_npz,
+)
+
+
+@pytest.fixture(scope="module")
+def image_tree(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for cls, color in (("ants", (200, 30, 30)), ("bees", (30, 30, 200))):
+        d = root / cls
+        d.mkdir()
+        for i in range(3):
+            arr = np.full((300 + 10 * i, 400, 3), color, np.uint8)
+            arr += rng.integers(0, 20, arr.shape).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+    return str(root)
+
+
+def test_image_folder_listing(image_tree):
+    paths, labels, classes = list_image_folder(image_tree)
+    assert classes == ["ants", "bees"]            # sorted-order indexing
+    assert len(paths) == 6 and labels == [0, 0, 0, 1, 1, 1]
+
+
+def test_val_transform_geometry_and_norm(image_tree):
+    paths, _, _ = list_image_folder(image_tree)
+    x = load_image_val(paths[0], size=224, resize=256)
+    assert x.shape == (224, 224, 3) and x.dtype == np.float32
+    # red-ish class: un-normalized channel means must rank r > g ≈ b
+    un = x * IMAGENET_STD + IMAGENET_MEAN
+    assert un[..., 0].mean() > un[..., 2].mean()
+    assert 0.0 <= un.min() + 0.1 and un.max() <= 1.1
+
+
+def test_val_batches_and_npz(image_tree, tmp_path):
+    batches = list(imagenet_val_batches(image_tree, batch_size=4))
+    assert batches[0][0].shape == (4, 224, 224, 3)
+    assert batches[1][0].shape == (2, 224, 224, 3)   # short tail kept
+    out = str(tmp_path / "val.npz")
+    n = imagenet_to_npz(image_tree, out, limit=5)
+    d = np.load(out)
+    assert n == 5 and d["x"].shape == (5, 224, 224, 3)
+    assert set(d["y"].tolist()) <= {0, 1}
+
+
+def test_train_transform_shapes(image_tree):
+    paths, _, _ = list_image_folder(image_tree)
+    rng = np.random.default_rng(3)
+    a = load_image_train(paths[0], rng)
+    b = load_image_train(paths[0], rng)
+    assert a.shape == b.shape == (224, 224, 3)
+    assert not np.allclose(a, b)                   # random crop/flip
+
+
+# -- SQuAD ---------------------------------------------------------------
+
+_VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]",
+          "the", "capital", "of", "france", "is", "paris", "what",
+          "big", "##ger", "city", "a", "?", ".", ","]
+
+
+@pytest.fixture(scope="module")
+def squad_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("squad")
+    vocab = d / "vocab.txt"
+    vocab.write_text("\n".join(_VOCAB) + "\n")
+    context = "The capital of France is Paris. Paris is a bigger city."
+    data = {"data": [{"title": "t", "paragraphs": [{
+        "context": context,
+        "qas": [
+            {"id": "q1", "question": "What is the capital of France?",
+             "answers": [{"text": "Paris",
+                          "answer_start": context.index("Paris")}]},
+            {"id": "q2", "question": "What is a bigger city?",
+             "answers": [{"text": "Paris",
+                          "answer_start": context.rindex("Paris")}]},
+        ]}]}]}
+    j = d / "train.json"
+    j.write_text(json.dumps(data))
+    return str(j), str(vocab)
+
+
+def test_wordpiece_tokenizer(squad_files):
+    _, vocab = squad_files
+    tok = WordPieceTokenizer(vocab)
+    assert tok.tokenize("Bigger city?") == ["big", "##ger", "city", "?"]
+    assert tok.tokenize("zzz") == ["[UNK]"]
+    ids = tok.convert_tokens_to_ids(["the", "[UNK]"])
+    assert ids == [_VOCAB.index("the"), _VOCAB.index("[UNK]")]
+
+
+def test_parse_and_features_answer_span(squad_files):
+    j, vocab = squad_files
+    tok = WordPieceTokenizer(vocab)
+    examples = parse_squad_json(j)
+    assert [e.qid for e in examples] == ["q1", "q2"]
+    assert examples[0].doc_tokens[examples[0].start_token] == "Paris."
+
+    f = convert_examples_to_features(examples, tok, max_seq_length=40,
+                                     doc_stride=8)
+    assert f.input_ids.shape[1] == 40
+    assert f.input_ids.dtype == np.int32
+    # feature 0 holds q1's answer: the token at `start` decodes to paris
+    row = f.input_ids[0]
+    s, e = int(f.start[0]), int(f.end[0])
+    assert s > 0 and _VOCAB[row[s]] == "paris" and e >= s
+    # type ids: 0 over [CLS]+query+[SEP], 1 over the doc chunk
+    sep = _VOCAB.index("[SEP]")
+    first_sep = int(np.argmax(row == sep))
+    assert f.token_type_ids[0, : first_sep + 1].max() == 0
+    assert f.token_type_ids[0, first_sep + 1] == 1
+
+
+def test_doc_stride_windows_and_cls_fallback(squad_files):
+    j, vocab = squad_files
+    tok = WordPieceTokenizer(vocab)
+    examples = parse_squad_json(j)
+    # tiny window forces multiple spans per example
+    f = convert_examples_to_features(examples, tok, max_seq_length=16,
+                                     doc_stride=2, max_query_length=6)
+    assert (f.example_index == 0).sum() >= 2
+    # spans that do not contain the answer must point at [CLS] (0)
+    ex0 = f.start[f.example_index == 0]
+    assert (ex0 == 0).any() and (ex0 > 0).any()
+
+
+def test_squad_to_npz(squad_files, tmp_path):
+    j, vocab = squad_files
+    out = str(tmp_path / "feat.npz")
+    n = squad_to_npz(j, vocab, out, max_seq_length=48, doc_stride=16)
+    d = np.load(out)
+    assert n == d["input_ids"].shape[0] >= 2
+    assert d["attention_mask"].shape == d["input_ids"].shape
+    assert (d["start"] < 48).all() and (d["end"] >= d["start"]).all()
