@@ -32,15 +32,33 @@ def main():
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--imagenet_dir", default=None,
+                   help="real ImageFolder train tree (class-per-folder); "
+                        "random-resized-crop + flip transform")
+    p.add_argument("--num-classes", type=int, default=8)
     args = p.parse_args()
 
-    cfg = ResNetConfig(stage_sizes=(1, 1), width=16, num_classes=8,
-                       small_images=True)
+    if args.imagenet_dir:
+        import numpy as np
+
+        from fp8tpu.data.imagenet import (list_image_folder,
+                                          load_image_train)
+        paths, labels, classes = list_image_folder(args.imagenet_dir)
+        rng = np.random.default_rng(0)
+        xs = np.stack([load_image_train(p, rng) for p in paths[:1024]])
+        ys = np.asarray(labels[:1024], np.int32)
+        n_cls = len(classes)
+        cfg = ResNetConfig(stage_sizes=(1, 1), width=16,
+                           num_classes=n_cls, small_images=False)
+    else:
+        # learnable class-conditional patterns (fp8tpu.data) — QAT top-1
+        # is a real signal, not chance on noise
+        from fp8tpu.data import pattern_images
+        xs, ys = pattern_images(1024, size=32, n_classes=args.num_classes,
+                                seed=0)
+        cfg = ResNetConfig(stage_sizes=(1, 1), width=16,
+                           num_classes=args.num_classes, small_images=True)
     model = ResNet(cfg)
-    # learnable class-conditional patterns (fp8tpu.data) — QAT top-1 is
-    # a real signal, not chance on noise
-    from fp8tpu.data import pattern_images
-    xs, ys = pattern_images(1024, size=32, n_classes=8, seed=0)
     x, y = jnp.asarray(xs), jnp.asarray(ys)
     variables = model.init(jax.random.key(2), x[:2])
 

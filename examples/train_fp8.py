@@ -72,10 +72,22 @@ def main():
         master_fmt=args.master_fmt, emb_fmt=args.emb_fmt)
     optimizer = optax.adamw(args.lr)
 
-    def loss_fn(apply_fn, params, batch):
-        logits = apply_fn(params, batch[:, :-1])
-        return optax.softmax_cross_entropy_with_integer_labels(
-            logits, batch[:, 1:]).mean()
+    if args.n_experts:
+        from fp8tpu.models.transformer import moe_aux_loss
+
+        def loss_fn(apply_fn, params, batch):
+            logits, inter = apply_fn(params, batch[:, :-1],
+                                     mutable=["intermediates"])
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch[:, 1:]).mean()
+            # Switch-style load balancing: without it capacity routing
+            # collapses onto a few experts and silently drops tokens.
+            return ce + 0.01 * moe_aux_loss(inter)
+    else:
+        def loss_fn(apply_fn, params, batch):
+            logits = apply_fn(params, batch[:, :-1])
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch[:, 1:]).mean()
 
     step_fn = make_train_step(emulator, optimizer, loss_fn)
 

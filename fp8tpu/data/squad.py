@@ -278,6 +278,84 @@ def convert_examples_to_features(
     )
 
 
+# -- answer decoding + official-normalization metrics ----------------------
+
+def _normalize_answer(s: str) -> str:
+    """SQuAD's official normalization: lowercase, drop punctuation,
+    articles (a/an/the) and extra whitespace (evaluate-v1.1.py rule)."""
+    s = "".join(ch for ch in s.lower() if not _is_punct(ch))
+    toks = [t for t in s.split() if t not in ("a", "an", "the")]
+    return " ".join(toks)
+
+
+def decode_answers(features: SquadFeatures,
+                   examples: List[SquadExample],
+                   start_logits: np.ndarray, end_logits: np.ndarray,
+                   max_answer_len: int = 30) -> Dict[str, str]:
+    """Per-example best answer STRING from per-feature span logits.
+
+    The reference's write_predictions flow (run_squad.py → HF
+    compute_predictions_logits): for every feature, score doc-token
+    spans by start+end logit sum (positions outside the doc chunk are
+    masked), pick the best span across all of an example's windows, and
+    map it back to the original whitespace tokens.  Returns {qid: text}.
+    """
+    sl = np.asarray(start_logits)
+    el = np.asarray(end_logits)
+    best: Dict[int, Tuple[float, str]] = {}
+    for fi in range(sl.shape[0]):
+        tmap = features.token_to_orig[fi]
+        if not tmap:
+            continue
+        doc_pos = sorted(tmap)
+        lo, hi = doc_pos[0], doc_pos[-1]
+        s_view = sl[fi, lo:hi + 1]
+        e_view = el[fi, lo:hi + 1]
+        n = hi - lo + 1
+        score_best, s_best, e_best = -np.inf, 0, 0
+        order = np.argsort(s_view)[::-1][:20]
+        for s_i in order:
+            e_cap = min(n, s_i + max_answer_len)
+            e_i = s_i + int(np.argmax(e_view[s_i:e_cap]))
+            sc = float(s_view[s_i] + e_view[e_i])
+            if sc > score_best:
+                score_best, s_best, e_best = sc, int(s_i), int(e_i)
+        ex_i = int(features.example_index[fi])
+        ex = examples[ex_i]
+        w0, w1 = tmap[lo + s_best], tmap[lo + e_best]
+        text = " ".join(ex.doc_tokens[w0:w1 + 1])
+        if ex_i not in best or score_best > best[ex_i][0]:
+            best[ex_i] = (score_best, text)
+    return {examples[i].qid: t for i, (_, t) in best.items()}
+
+
+def squad_string_em_f1(predictions: Dict[str, str],
+                       examples: List[SquadExample]) -> Dict[str, float]:
+    """Official string-level EM / token-overlap F1 (evaluate-v1.1.py
+    semantics) over {qid: predicted text}."""
+    em = f1 = n = 0
+    for ex in examples:
+        if ex.is_impossible or not ex.answer_text:
+            continue
+        n += 1
+        pred = _normalize_answer(predictions.get(ex.qid, ""))
+        gold = _normalize_answer(ex.answer_text)
+        em += float(pred == gold)
+        pt, gt = pred.split(), gold.split()
+        if not pt or not gt:
+            f1 += float(pt == gt)
+            continue
+        common: Dict[str, int] = {}
+        for t in pt:
+            common[t] = common.get(t, 0) + 1
+        overlap = sum(min(c, gt.count(t)) for t, c in common.items())
+        if overlap:
+            prec, rec = overlap / len(pt), overlap / len(gt)
+            f1 += 2 * prec * rec / (prec + rec)
+    n = max(n, 1)
+    return {"exact_match": 100.0 * em / n, "f1": 100.0 * f1 / n}
+
+
 def squad_to_npz(json_path: str, vocab_file: str, out: str,
                  max_seq_length: int = 384, doc_stride: int = 128,
                  max_query_length: int = 64,

@@ -230,6 +230,22 @@ class Decoder(nn.Module):
         return logits.astype(jnp.float32)
 
 
+def moe_aux_loss(intermediates) -> jax.Array:
+    """Mean of the per-layer Switch load-balancing losses sown by
+    :class:`MoEMLP` (≈1 when the router is perfectly balanced).
+
+    Use with ``logits, inter = apply_fn(params, toks,
+    mutable=["intermediates"])`` and add ``aux_weight *
+    moe_aux_loss(inter)`` to the task loss — without it, capacity-bounded
+    routing collapses onto a few experts and drops the rest's tokens
+    (Shazeer et al. / GShard; the reference has no MoE surface)."""
+    leaves = jax.tree_util.tree_leaves(intermediates)
+    if not leaves:
+        return jnp.zeros((), jnp.float32)
+    return jnp.mean(jnp.stack([jnp.asarray(l, jnp.float32).mean()
+                               for l in leaves]))
+
+
 def tiny_config(**kw) -> DecoderConfig:
     """Test-sized decoder."""
     base = dict(vocab_size=256, d_model=128, n_layers=2, n_heads=4,

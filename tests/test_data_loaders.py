@@ -150,6 +150,35 @@ def test_doc_stride_windows_and_cls_fallback(squad_files):
     assert (ex0 == 0).any() and (ex0 > 0).any()
 
 
+def test_decode_answers_and_string_metrics(squad_files):
+    from fp8tpu.data.squad import decode_answers, squad_string_em_f1
+    j, vocab = squad_files
+    tok = WordPieceTokenizer(vocab)
+    examples = parse_squad_json(j)
+    f = convert_examples_to_features(examples, tok, max_seq_length=40,
+                                     doc_stride=8)
+    # oracle logits: one-hot at the gold feature spans
+    N, L = f.input_ids.shape
+    sl = np.full((N, L), -10.0, np.float32)
+    el = np.full((N, L), -10.0, np.float32)
+    for i in range(N):
+        if f.start[i] > 0:
+            sl[i, f.start[i]] = 10.0
+            el[i, f.end[i]] = 10.0
+    preds = decode_answers(f, examples, sl, el)
+    assert set(preds) == {"q1", "q2"}
+    m = squad_string_em_f1(preds, examples)
+    # gold spans decode to "Paris." / "Paris" → normalization strips
+    # punctuation, so both are exact matches
+    assert m["exact_match"] == 100.0 and m["f1"] == 100.0
+    # garbage logits must not crash and must score below oracle
+    rng = np.random.default_rng(0)
+    m2 = squad_string_em_f1(
+        decode_answers(f, examples, rng.normal(size=(N, L)),
+                       rng.normal(size=(N, L))), examples)
+    assert 0.0 <= m2["f1"] <= 100.0
+
+
 def test_squad_to_npz(squad_files, tmp_path):
     j, vocab = squad_files
     out = str(tmp_path / "feat.npz")

@@ -276,6 +276,126 @@ def lm_gates(steps, batch, lr, results, model_name="small"):
               f"(gap {p-base:+.4f}, {time.time()-t0:.0f}s)")
 
 
+def moe_gates(steps, batch, lr, results):
+    """Trained-MoE gates: a 4-expert top-2 decoder (small preset width)
+    trained WITH the Switch aux load-balancing loss, then (a) the real
+    MoE serving artifact's ΔPPL vs its bf16 serving twin (gate ≤ 0.1 —
+    the untrained-router corr check in tests is tie-dominated; this is
+    the meaningful number) and (b) hybrid-FP8 training parity."""
+    from fp8tpu.models import moe_aux_loss
+
+    m = MODELS["small"]
+    cfg = tiny_config(n_layers=m["n_layers"], d_model=m["d_model"],
+                      n_heads=m["n_heads"], n_kv_heads=m["n_kv_heads"],
+                      d_ff=m["d_ff"], vocab_size=m["vocab"],
+                      max_seq_len=m["seq"], n_experts=4, moe_top_k=2,
+                      moe_capacity_factor=1.5)
+    model = Decoder(cfg)
+    train_toks = mixed_lm_corpus(m["corpus"], m["seq"], m["vocab"], seed=0)
+    eval_toks = mixed_lm_corpus(128, m["seq"], m["vocab"], seed=777)
+    variables = model.init(jax.random.key(1),
+                           jnp.asarray(train_toks[:1, :-1]))
+    n_params = sum(np.prod(p.shape)
+                   for p in jax.tree.leaves(variables))
+
+    def loss_moe(apply_fn, v, b):
+        logits, inter = apply_fn(v, b[:, :-1], mutable=["intermediates"])
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, b[:, 1:]).mean()
+        return ce + 0.01 * moe_aux_loss(inter)
+
+    opt = _opt(lr, steps)
+
+    @jax.jit
+    def bstep(params, opt_state, b):
+        def loss_of(p):
+            return loss_moe(lambda v, t, **kw: model.apply(v, t, **kw),
+                            {"params": p}, b)
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    expert_p = cfg.n_layers * cfg.n_experts * 2 * cfg.d_model * cfg.d_ff
+    active_p = n_params - expert_p + (cfg.moe_top_k * expert_p
+                                      // cfg.n_experts)
+    print(f"[moe] {cfg.n_experts}-expert top-{cfg.moe_top_k} decoder "
+          f"({n_params/1e6:.1f}M params, ~{active_p/1e6:.1f}M active)")
+    t0 = time.time()
+    params = variables["params"]
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(0)
+    for i in range(steps):
+        idx = rng.integers(0, len(train_toks), batch)
+        params, opt_state, loss = bstep(params, opt_state,
+                                        jnp.asarray(train_toks[idx]))
+        if (i + 1) % max(steps // 5, 1) == 0:
+            print(f"    moe bf16 step {i+1}/{steps} "
+                  f"loss {float(loss):.4f}", flush=True)
+    trained = {"params": params}
+    print(f"[moe] bf16 training {time.time()-t0:.0f}s")
+
+    japply = jax.jit(lambda v, t: model.apply(v, t))
+    base = ppl_of(lambda tb: japply(trained, tb), eval_toks)
+    # router balance on the trained model (Switch aux ≈ 1 = balanced)
+    _, inter = model.apply(trained, jnp.asarray(eval_toks[:8, :-1]),
+                           mutable=["intermediates"])
+    aux = float(moe_aux_loss(inter))
+    results["moe"] = {"params_m": round(float(n_params) / 1e6, 1),
+                      "experts": 4, "top_k": 2,
+                      "fp32_ppl": round(base, 4),
+                      "router_balance_aux": round(aux, 3),
+                      "policies": {}}
+    print(f"[moe] trained eval ppl {base:.4f}, router aux {aux:.3f}")
+
+    serve_ppls = {}
+    for fmt, kv in (("bf16", "bf16"), ("e4m3", "int8"), ("e4m3", "e4m3"),
+                    ("int8", "int8"), ("int4", "int8")):
+        scfg = ServeConfig(model=cfg, weight_fmt=fmt, kv_fmt=kv)
+        sparams = convert_decoder_params(trained, cfg, fmt=fmt)
+        jfl = jax.jit(lambda sp, t, _c=scfg: full_logits(sp, t, _c))
+
+        def sv_apply(tb, jfl=jfl, sparams=sparams):
+            return jnp.stack([jfl(sparams, t) for t in tb])
+        p = ppl_of(sv_apply, eval_toks[:64])
+        tag = f"serve_{fmt}_kv{kv}"
+        serve_ppls[tag] = p
+        rec = {"ppl": round(p, 4), "delta_ppl": round(p - base, 4)}
+        ref = serve_ppls.get("serve_bf16_kvbf16")
+        if ref is not None:
+            rec["delta_vs_serve_bf16"] = round(p - ref, 4)
+        results["moe"]["policies"][tag] = rec
+        extra = (f"  Δserve_bf16 {rec['delta_vs_serve_bf16']:+.4f}"
+                 if "delta_vs_serve_bf16" in rec else "")
+        print(f"[moe] {tag:18s} ppl {p:.4f}  Δ {p-base:+.4f}{extra}")
+
+    if os.environ.get("ACC_SKIP_TRAINING") == "1":
+        return
+    # hybrid FP8 training parity, aux loss included
+    emulator = initialize(model, variables,
+                          (jnp.asarray(train_toks[:1, :-1]),),
+                          training_algo="hybrid", master_fmt="fp16")
+    qstep = jax.jit(make_train_step(emulator, _opt(lr, steps), loss_moe))
+    qparams = variables
+    qopt = init_train_state(_opt(lr, steps), qparams)
+    rng = np.random.default_rng(0)
+    key = jax.random.key(42)
+    t0 = time.time()
+    for i in range(steps):
+        idx = rng.integers(0, len(train_toks), batch)
+        key, sub = jax.random.split(key)
+        qparams, qopt, loss = qstep(qparams, qopt,
+                                    jnp.asarray(train_toks[idx]), sub)
+        if (i + 1) % max(steps // 5, 1) == 0:
+            print(f"    moe hybrid step {i+1}/{steps} "
+                  f"loss {float(loss):.4f}", flush=True)
+    p = ppl_of(lambda tb: japply(qparams, tb), eval_toks)
+    results["moe"]["training"] = {
+        "bf16_ppl": round(base, 4), "hybrid_ppl": round(p, 4),
+        "hybrid_gap": round(p - base, 4)}
+    print(f"[moe] hybrid FP8-trained ppl {p:.4f} (gap {p-base:+.4f}, "
+          f"{time.time()-t0:.0f}s)")
+
+
 def direct_recipe_gates(steps, batch, lr, results, model_name="small"):
     """Direct-recipe ablation (VERDICT r2 next #5: why does all-E5M2
     need >1x budget for parity?).  Same init, same budget, four recipes:
@@ -404,6 +524,9 @@ def main():
                     help="defaults to the model preset's lr")
     ap.add_argument("--direct_ablation", action="store_true",
                     help="run the 4-recipe direct-training ablation")
+    ap.add_argument("--moe", action="store_true",
+                    help="run the trained-MoE serving/training gates "
+                         "(small preset, 4 experts)")
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args()
     steps = args.steps or MODELS[args.model]["default_steps"]
@@ -424,6 +547,9 @@ def main():
     if args.direct_ablation:
         direct_recipe_gates(steps, args.batch, args.lr, results,
                             args.model)
+    if args.moe:
+        moe_gates(steps if args.steps else MODELS["small"]["default_steps"],
+                  args.batch, MODELS["small"]["default_lr"], results)
     if os.environ.get("ACC_SKIP_CONV") != "1":
         conv_gates(args.conv_steps, results)
 
