@@ -214,3 +214,49 @@ def test_serve_params_sharding(decoder_setup):
             sparams_d, cache_sh, jnp.ones((4,), jnp.int32),
             jnp.zeros((4,), jnp.int32), scfg)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_moe_serve_params_sharding():
+    """MoE serving artifact: expert stacks shard over 'model' (expert
+    parallelism) and the sharded decode step matches the replicated one
+    exactly (weight payloads are pre-quantized, so no reduction-order-
+    sensitive dynamic scales are in play for the gather/combine)."""
+    import dataclasses
+
+    from fp8tpu.serve import RingKVCache, ServeConfig, convert_decoder_params
+    from fp8tpu.serve.model import decode_step
+
+    cfg = tiny_config(n_layers=2, d_model=64, n_heads=4, n_kv_heads=2,
+                      d_ff=128, vocab_size=256, max_seq_len=32,
+                      n_experts=4, moe_top_k=2, moe_capacity_factor=4.0)
+    m = Decoder(cfg)
+    variables = m.init(jax.random.key(0), jnp.ones((2, 8), jnp.int32))
+    sparams = convert_decoder_params(variables, cfg)
+    mesh = make_mesh(data=2, model=2)
+    sp_sh = shard_tree(sparams, mesh, SERVE_PARAM_RULES)
+    assert sp_sh["eup8"].spec == P(None, "model", None, None)
+    assert sp_sh["router"].is_equivalent_to(
+        NamedSharding(mesh, P()), sparams["router"].ndim)
+
+    def mk_cache():
+        return RingKVCache.create(cfg.n_layers, 4, 32, cfg.n_kv_heads,
+                                  cfg.head_dim, "e4m3")
+
+    toks = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    pos = jnp.zeros((4,), jnp.int32)
+    scfg = ServeConfig(model=cfg)
+    ref_logits, _ = decode_step(sparams, mk_cache(), toks, pos, scfg)
+
+    sparams_d = jax.device_put(sparams, sp_sh)
+
+    def shard_leaf(x):
+        if x.ndim >= 4:
+            return jax.device_put(x, NamedSharding(
+                mesh, P(None, None, None, ("data", "model"))))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+    cache_sh = jax.tree.map(shard_leaf, mk_cache())
+    with mesh:
+        logits, _ = decode_step(sparams_d, cache_sh, toks, pos, scfg)
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(ref_logits), rtol=2e-2,
+                               atol=2e-2)
