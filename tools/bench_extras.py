@@ -178,6 +178,35 @@ def cast_bandwidth():
 
     t = _best(lambda: float(run_hw(x))) / REPS
     out["cast_e4m3_hw_gbps"] = round(2 * x.nbytes / t / 1e9, 1)
+
+    # Achievable-bandwidth references on the SAME harness: a bare
+    # elementwise multiply (the r/w ceiling any qdq variant can reach
+    # under this scan) and a bf16 round-trip (one native convert pair).
+    # These contextualize the cast numbers: GB/s here is bounded by the
+    # scan's serialized read-modify-write, not by HBM peak.
+    @jax.jit
+    def run_mul(x):
+        def body(c, _):
+            return c * jnp.float32(1.0001), ()
+        c, _ = jax.lax.scan(body, x, None, length=REPS)
+        return jnp.sum(c)
+
+    t = _best(lambda: float(run_mul(x))) / REPS
+    out["elementwise_mul_gbps"] = round(2 * x.nbytes / t / 1e9, 1)
+
+    @jax.jit
+    def run_bf16(x):
+        def body(c, _):
+            return (c * jnp.float32(1.0001)).astype(
+                jnp.bfloat16).astype(jnp.float32), ()
+        c, _ = jax.lax.scan(body, x, None, length=REPS)
+        return jnp.sum(c)
+
+    t = _best(lambda: float(run_bf16(x))) / REPS
+    out["bf16_roundtrip_gbps"] = round(2 * x.nbytes / t / 1e9, 1)
+    for k in ("cast_e4m3_rne_gbps", "cast_e4m3_hw_gbps"):
+        out[k.replace("_gbps", "_vs_ceiling")] = round(
+            out[k] / out["elementwise_mul_gbps"], 3)
     return out
 
 
