@@ -291,7 +291,9 @@ def _normalize_answer(s: str) -> str:
 def decode_answers(features: SquadFeatures,
                    examples: List[SquadExample],
                    start_logits: np.ndarray, end_logits: np.ndarray,
-                   max_answer_len: int = 30) -> Dict[str, str]:
+                   max_answer_len: int = 30,
+                   null_threshold: Optional[float] = None
+                   ) -> Dict[str, str]:
     """Per-example best answer STRING from per-feature span logits.
 
     The reference's write_predictions flow (run_squad.py → HF
@@ -299,14 +301,23 @@ def decode_answers(features: SquadFeatures,
     spans by start+end logit sum (positions outside the doc chunk are
     masked), pick the best span across all of an example's windows, and
     map it back to the original whitespace tokens.  Returns {qid: text}.
+
+    ``null_threshold`` enables the v2 (version_2_with_negative) rule:
+    the null score is the [CLS] start+end logit sum (min over the
+    example's windows); predict "" when
+    ``null_score - best_non_null > null_threshold``.
     """
     sl = np.asarray(start_logits)
     el = np.asarray(end_logits)
     best: Dict[int, Tuple[float, str]] = {}
+    null_score: Dict[int, float] = {}
     for fi in range(sl.shape[0]):
         tmap = features.token_to_orig[fi]
         if not tmap:
             continue
+        ex_i = int(features.example_index[fi])
+        ns = float(sl[fi, 0] + el[fi, 0])          # [CLS] span score
+        null_score[ex_i] = min(null_score.get(ex_i, np.inf), ns)
         doc_pos = sorted(tmap)
         lo, hi = doc_pos[0], doc_pos[-1]
         s_view = sl[fi, lo:hi + 1]
@@ -320,13 +331,18 @@ def decode_answers(features: SquadFeatures,
             sc = float(s_view[s_i] + e_view[e_i])
             if sc > score_best:
                 score_best, s_best, e_best = sc, int(s_i), int(e_i)
-        ex_i = int(features.example_index[fi])
         ex = examples[ex_i]
         w0, w1 = tmap[lo + s_best], tmap[lo + e_best]
         text = " ".join(ex.doc_tokens[w0:w1 + 1])
         if ex_i not in best or score_best > best[ex_i][0]:
             best[ex_i] = (score_best, text)
-    return {examples[i].qid: t for i, (_, t) in best.items()}
+    out = {}
+    for i, (score, text) in best.items():
+        if (null_threshold is not None
+                and null_score.get(i, np.inf) - score > null_threshold):
+            text = ""
+        out[examples[i].qid] = text
+    return out
 
 
 def squad_string_em_f1(predictions: Dict[str, str],
@@ -335,10 +351,13 @@ def squad_string_em_f1(predictions: Dict[str, str],
     semantics) over {qid: predicted text}."""
     em = f1 = n = 0
     for ex in examples:
-        if ex.is_impossible or not ex.answer_text:
-            continue
         n += 1
         pred = _normalize_answer(predictions.get(ex.qid, ""))
+        if ex.is_impossible or not ex.answer_text:
+            # v2: an unanswerable question scores 1 iff predicted empty
+            em += float(pred == "")
+            f1 += float(pred == "")
+            continue
         gold = _normalize_answer(ex.answer_text)
         em += float(pred == gold)
         pt, gt = pred.split(), gold.split()

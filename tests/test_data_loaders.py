@@ -179,6 +179,36 @@ def test_decode_answers_and_string_metrics(squad_files):
     assert 0.0 <= m2["f1"] <= 100.0
 
 
+def test_squad_v2_null_answers(squad_files, tmp_path):
+    """v2 flow: an is_impossible question scores via the null rule —
+    huge [CLS] logits + null_threshold → empty prediction → EM 100."""
+    from fp8tpu.data.squad import decode_answers, squad_string_em_f1
+    _, vocab = squad_files
+    ctx = "The capital of France is Paris."
+    data = {"data": [{"title": "t", "paragraphs": [{
+        "context": ctx,
+        "qas": [{"id": "imp1", "question": "What is the capital?",
+                 "is_impossible": True, "answers": []}]}]}]}
+    j = tmp_path / "v2.json"
+    j.write_text(json.dumps(data))
+    tok = WordPieceTokenizer(vocab)
+    examples = parse_squad_json(str(j))
+    assert examples[0].is_impossible
+    f = convert_examples_to_features(examples, tok, max_seq_length=32,
+                                     doc_stride=8)
+    N, L = f.input_ids.shape
+    sl = np.zeros((N, L), np.float32)
+    el = np.zeros((N, L), np.float32)
+    sl[:, 0] = el[:, 0] = 8.0                      # confident null
+    preds = decode_answers(f, examples, sl, el, null_threshold=0.0)
+    assert preds["imp1"] == ""
+    m = squad_string_em_f1(preds, examples)
+    assert m["exact_match"] == 100.0
+    # without the null rule, a span is always predicted
+    preds2 = decode_answers(f, examples, sl, el)
+    assert preds2["imp1"] != ""
+
+
 def test_squad_to_npz(squad_files, tmp_path):
     j, vocab = squad_files
     out = str(tmp_path / "feat.npz")
