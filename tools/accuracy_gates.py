@@ -146,13 +146,24 @@ def train_fp8(model, variables, train_toks, steps, lr, batch, algo,
     return params
 
 
-def _build_lm(model_name):
+def _build_lm(model_name, corpus_kind="synthetic"):
     m = MODELS[model_name]
+    vocab = m["vocab"] if corpus_kind == "synthetic" else max(
+        m["vocab"], 256)  # byte-level corpora need the full byte range
     cfg = tiny_config(n_layers=m["n_layers"], d_model=m["d_model"],
                       n_heads=m["n_heads"], n_kv_heads=m["n_kv_heads"],
-                      d_ff=m["d_ff"], vocab_size=m["vocab"],
+                      d_ff=m["d_ff"], vocab_size=vocab,
                       max_seq_len=m["seq"])
     model = Decoder(cfg)
+    if corpus_kind == "code":
+        # REAL data with no downloads: byte-level Python source from the
+        # local environment (data/text.py).  Train/eval draw different
+        # random offsets over the same byte stream — fine for ΔPPL gates,
+        # which compare quantized vs fp32 on the SAME eval set.
+        from fp8tpu.data.text import local_code_corpus
+        train_toks = local_code_corpus(m["corpus"], m["seq"], seed=0)
+        eval_toks = local_code_corpus(128, m["seq"], seed=777)
+        return cfg, model, train_toks, eval_toks
     # enough data that the run stays under ~3 epochs: an overfit model
     # turns quantization noise into (anti-)regularization and makes
     # ΔPPL meaningless
@@ -162,10 +173,12 @@ def _build_lm(model_name):
 
 
 def _trained_baseline(model_name, model, variables, train_toks, steps,
-                      lr, batch):
+                      lr, batch, corpus_kind="synthetic"):
     """bf16 baseline weights, checkpoint-cached per (model, lr, steps)."""
-    ckpt_dir = os.path.join(os.path.dirname(__file__), "..",
-                            f".cache_accuracy_{model_name}_lr{lr:g}_clip")
+    tag = "" if corpus_kind == "synthetic" else f"_{corpus_kind}"
+    ckpt_dir = os.path.join(
+        os.path.dirname(__file__), "..",
+        f".cache_accuracy_{model_name}_lr{lr:g}_clip{tag}")
     from fp8tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
     trained = None
     if os.environ.get("ACC_REUSE") == "1":
@@ -187,22 +200,28 @@ def _trained_baseline(model_name, model, variables, train_toks, steps,
     return trained
 
 
-def lm_gates(steps, batch, lr, results, model_name="small"):
+def lm_gates(steps, batch, lr, results, model_name="small",
+             corpus_kind="synthetic"):
     m = MODELS[model_name]
-    cfg, model, train_toks, eval_toks = _build_lm(model_name)
+    cfg, model, train_toks, eval_toks = _build_lm(model_name, corpus_kind)
     n_params = sum(np.prod(s.shape) for s in jax.tree.leaves(
         jax.eval_shape(lambda: model.init(
             jax.random.key(1), jnp.asarray(train_toks[:1, :-1])))))
-    floor = markov_entropy_floor(m["vocab"])
-    print(f"[lm] model={model_name} ({n_params/1e6:.1f}M params) "
-          f"corpus entropy floor (markov half): ppl ~{floor:.2f}")
+    if corpus_kind == "synthetic":
+        floor = markov_entropy_floor(m["vocab"])
+        print(f"[lm] model={model_name} ({n_params/1e6:.1f}M params) "
+              f"corpus entropy floor (markov half): ppl ~{floor:.2f}")
+    else:
+        floor = float("nan")
+        print(f"[lm] model={model_name} ({n_params/1e6:.1f}M params) "
+              f"corpus={corpus_kind} (real byte-level text)")
 
     variables = model.init(jax.random.key(1),
                            jnp.asarray(train_toks[:1, :-1]))
     # NOTE: the cache key is (model_name, step count) — delete
     # .cache_accuracy_* after changing the corpus or training recipe.
     trained = _trained_baseline(model_name, model, variables, train_toks,
-                                steps, lr, batch)
+                                steps, lr, batch, corpus_kind)
 
     # params must be RUNTIME ARGS of every jitted apply: a closure bakes
     # them into the compile payload as constants, which the tunneled
@@ -210,9 +229,10 @@ def lm_gates(steps, batch, lr, results, model_name="small"):
     japply = jax.jit(lambda v, t: model.apply(v, t))
     base = ppl_of(lambda tb: japply(trained, tb), eval_toks)
     prev_training = results.get("lm", {}).get("training")
-    results["lm"] = {"model": model_name,
+    results["lm"] = {"model": model_name, "corpus": corpus_kind,
                      "params_m": round(float(n_params) / 1e6, 1),
-                     "entropy_floor_markov": round(floor, 3),
+                     "entropy_floor_markov": (round(floor, 3)
+                                              if floor == floor else None),
                      "fp32_ppl": round(base, 4), "policies": {}}
     if prev_training:
         results["lm"]["training"] = prev_training
@@ -527,6 +547,11 @@ def main():
     ap.add_argument("--moe", action="store_true",
                     help="run the trained-MoE serving/training gates "
                          "(small preset, 4 experts)")
+    ap.add_argument("--corpus", choices=["synthetic", "code"],
+                    default="synthetic",
+                    help="'code' trains on REAL byte-level Python source "
+                         "from the local environment (fp8tpu.data.text); "
+                         "pair with --out ACCURACY_CODE.json")
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args()
     steps = args.steps or MODELS[args.model]["default_steps"]
@@ -543,7 +568,8 @@ def main():
         except Exception:
             pass
     if os.environ.get("ACC_SKIP_LM") != "1":
-        lm_gates(steps, args.batch, args.lr, results, args.model)
+        lm_gates(steps, args.batch, args.lr, results, args.model,
+                 args.corpus)
     if args.direct_ablation:
         direct_recipe_gates(steps, args.batch, args.lr, results,
                             args.model)
