@@ -40,13 +40,17 @@ def main():
     p.add_argument("--requests", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--n-experts", type=int, default=0,
+                   help="MoE FFN: serve quantized expert stacks with "
+                        "exact top-2 combine (0 = dense)")
     args = p.parse_args()
 
     cfg = DecoderConfig(
         vocab_size=4096, d_model=args.d_model, n_layers=args.n_layers,
         n_heads=max(4, args.d_model // 64),
         n_kv_heads=max(4, args.d_model // 64),
-        d_ff=args.d_model * 3, max_seq_len=args.max_seq)
+        d_ff=args.d_model * 3, max_seq_len=args.max_seq,
+        n_experts=args.n_experts)
     model = Decoder(cfg)
     variables = jax.jit(model.init)(jax.random.key(0),
                                     jnp.ones((1, 8), jnp.int32))
