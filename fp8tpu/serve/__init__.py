@@ -17,6 +17,8 @@ from .model import (  # noqa: F401
     decode_steps,
     decode_steps_paged,
     fp8_linear,
+    full_logits,
+    int4_linear,
     prefill,
     prefill_batch,
     prefill_batch_paged,
