@@ -142,6 +142,21 @@ def test_moe_engine_end_to_end(setup):
     assert all(0 <= t < cfg.vocab_size for v in out.values() for t in v)
 
 
+def test_moe_engine_paged_mode(setup):
+    cfg, _, _, scfg, sparams = setup
+    eng = ServingEngine(sparams, scfg, n_slots=2, max_seq=64,
+                        use_paged=True, page_size=8)
+    out = eng.run([Request(uid=0, prompt=[4, 5, 6], max_new_tokens=5),
+                   Request(uid=1, prompt=[7, 8], max_new_tokens=5)])
+    assert set(out) == {0, 1}
+    assert all(len(v) == 5 for v in out.values())
+    # paged engine must agree with the ring engine under greedy decode
+    ring = ServingEngine(sparams, scfg, n_slots=2, max_seq=64).run(
+        [Request(uid=0, prompt=[4, 5, 6], max_new_tokens=5),
+         Request(uid=1, prompt=[7, 8], max_new_tokens=5)])
+    assert out == ring
+
+
 def test_moe_gates_match_training_combine():
     """Exact-top-k serving gates == capacity-routing combine summed over
     slots, when nothing overflows."""
