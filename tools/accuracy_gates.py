@@ -587,17 +587,25 @@ def main():
     # eval; serving variants gate on delta_vs_serve_bf16 (the bf16
     # serving twin shares their compute precision — the raw Δ mostly
     # measures bf16 arithmetic, which the baseline pays identically).
-    pol = results["lm"]["policies"]
-    ptq_worst = max(abs(v["delta_ppl"]) for k, v in pol.items()
-                    if not k.startswith("serve_") and k != "e5m2")
-    serve_worst = max(abs(v.get("delta_vs_serve_bf16", 0.0))
-                      for k, v in pol.items()
-                      if k.startswith("serve_") and "int4" not in k)
-    print(f"GATES (target ≤ 0.1): PTQ worst |ΔPPL| {ptq_worst:.4f}; "
-          f"serving worst |Δ vs bf16 twin| {serve_worst:.4f}; "
-          f"e5m2 PTQ Δ {pol['e5m2']['delta_ppl']:+.4f} (training format); "
-          f"int4 capacity mode Δ "
-          f"{pol.get('serve_int4_kvint8', {}).get('delta_vs_serve_bf16', 0):+.4f}")
+    pol = results.get("lm", {}).get("policies")
+    if pol:
+        ptq_worst = max(abs(v["delta_ppl"]) for k, v in pol.items()
+                        if not k.startswith("serve_") and k != "e5m2")
+        serve_worst = max(abs(v.get("delta_vs_serve_bf16", 0.0))
+                          for k, v in pol.items()
+                          if k.startswith("serve_") and "int4" not in k)
+        print(f"GATES (target ≤ 0.1): PTQ worst |ΔPPL| {ptq_worst:.4f}; "
+              f"serving worst |Δ vs bf16 twin| {serve_worst:.4f}; "
+              f"e5m2 PTQ Δ {pol['e5m2']['delta_ppl']:+.4f} "
+              "(training format); int4 capacity mode Δ "
+              f"{pol.get('serve_int4_kvint8', {}).get('delta_vs_serve_bf16', 0):+.4f}")
+    if "moe" in results and results["moe"].get("policies"):
+        mw = max(abs(v.get("delta_vs_serve_bf16", 0.0))
+                 for v in results["moe"]["policies"].values())
+        gap = results["moe"].get("training", {}).get("hybrid_gap")
+        print(f"MoE GATES: serving worst |Δ vs bf16 twin| {mw:.4f}"
+              + (f"; hybrid training gap {gap:+.4f}"
+                 if gap is not None else ""))
     if "conv_qat" in results:
         print(f"conv QAT gap {results['conv_qat']['gap']:+.4f}")
 
