@@ -266,8 +266,10 @@ def lm_gates(steps, batch, lr, results, model_name="small",
                     ("int4", "int8"), ("int4", "e4m3")):
         scfg = ServeConfig(model=cfg, weight_fmt=fmt, kv_fmt=kv)
         sparams = convert_decoder_params(trained, cfg, fmt=fmt)
-        def sv_apply(tb, scfg=scfg, sparams=sparams):
-            return jnp.stack([full_logits(sparams, t, scfg) for t in tb])
+        jfl = jax.jit(lambda sp, t, _c=scfg: full_logits(sp, t, _c))
+
+        def sv_apply(tb, jfl=jfl, sparams=sparams):
+            return jnp.stack([jfl(sparams, t) for t in tb])
         p = ppl_of(sv_apply, eval_toks[:64])
         tag = f"serve_{fmt}_kv{kv}"
         serve_ppls[tag] = p
