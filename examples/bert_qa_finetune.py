@@ -57,9 +57,36 @@ def main():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seq-len", type=int, default=64)
     p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--squad_json", default=None,
+                   help="real SQuAD v1.1/v2 train JSON (needs --vocab): "
+                        "fine-tune on doc-span features and report "
+                        "STRING-level EM/F1 via the official decode")
+    p.add_argument("--vocab", default=None)
     args = p.parse_args()
 
-    cfg = tiny_bert(max_position=args.seq_len)
+    squad = None
+    if args.squad_json:
+        # The reference flow end-to-end (run_qa_no_trainer.py): JSON →
+        # WordPiece doc-span features → fine-tune → answer-string decode
+        # → official EM/F1 — all through fp8tpu.data.squad.
+        from fp8tpu.data.squad import (WordPieceTokenizer,
+                                       convert_examples_to_features,
+                                       parse_squad_json)
+        if not args.vocab:
+            p.error("--squad_json needs --vocab")
+        tokenizer = WordPieceTokenizer(args.vocab)
+        examples = parse_squad_json(args.squad_json)
+        feats = convert_examples_to_features(
+            examples, tokenizer, max_seq_length=args.seq_len,
+            doc_stride=max(args.seq_len // 4, 16),
+            max_query_length=min(64, args.seq_len // 2))
+        squad = (examples, feats)
+        vocab_size = len(tokenizer.vocab)
+        print(f"{len(examples)} examples → {feats.input_ids.shape[0]} "
+              f"features (vocab {vocab_size})")
+        cfg = tiny_bert(max_position=args.seq_len, vocab_size=vocab_size)
+    else:
+        cfg = tiny_bert(max_position=args.seq_len)
     model = BertForQA(cfg)
     key = jax.random.key(0)
     ids = jax.random.randint(jax.random.key(1),
@@ -78,25 +105,62 @@ def main():
     optimizer = optax.adamw(args.lr)
 
     def loss_fn(apply_fn, params, batch):
-        ids, starts, ends = batch
-        s_logits, e_logits = apply_fn(params, ids)
+        ids, mask, types, starts, ends = batch
+        s_logits, e_logits = apply_fn(params, ids, mask, types)
         return (optax.softmax_cross_entropy_with_integer_labels(
                     s_logits, starts).mean()
                 + optax.softmax_cross_entropy_with_integer_labels(
                     e_logits, ends).mean()) / 2
+
+    def get_batch(i, k):
+        if squad is not None:
+            _, f = squad
+            rng = np.random.default_rng(i)
+            idx = rng.integers(0, f.input_ids.shape[0], args.batch_size)
+            return (jnp.asarray(f.input_ids[idx]),
+                    jnp.asarray(f.attention_mask[idx]).astype(jnp.bool_),
+                    jnp.asarray(f.token_type_ids[idx]),
+                    jnp.asarray(f.start[idx]), jnp.asarray(f.end[idx]))
+        ids, starts, ends = make_batch(jax.random.fold_in(k, 1),
+                                       args.batch_size, args.seq_len,
+                                       cfg.vocab_size)
+        return (ids, jnp.ones_like(ids, jnp.bool_),
+                jnp.zeros_like(ids), starts, ends)
 
     step = jax.jit(make_train_step(emulator, optimizer, loss_fn))
     opt_state = init_train_state(optimizer, variables)
     log = MetricLogger()
     for i in range(args.steps):
         k = jax.random.fold_in(key, i)
-        batch = make_batch(jax.random.fold_in(k, 1), args.batch_size,
-                           args.seq_len, cfg.vocab_size)
+        batch = get_batch(i, k)
         variables, opt_state, loss = step(variables, opt_state, batch, k)
         log.update(loss=float(loss))
         if i % 10 == 0:
             print(f"step {i}: {log}")
     print(f"final: {log}")
+
+    if squad is not None:
+        # Answer-string decode + official EM/F1 over the fine-tuned set
+        # (compute_predictions_logits + evaluate-v1.1 semantics).
+        from fp8tpu.data.squad import decode_answers, squad_string_em_f1
+        examples, f = squad
+        eval_apply = jax.jit(lambda v, i, m, t: model.apply(v, i, m, t))
+        sls, els = [], []
+        N = f.input_ids.shape[0]
+        for j in range(0, N, args.batch_size):
+            sl, el = eval_apply(
+                variables, jnp.asarray(f.input_ids[j:j + args.batch_size]),
+                jnp.asarray(f.attention_mask[j:j + args.batch_size]
+                            ).astype(jnp.bool_),
+                jnp.asarray(f.token_type_ids[j:j + args.batch_size]))
+            sls.append(np.asarray(sl))
+            els.append(np.asarray(el))
+        preds = decode_answers(f, examples, np.concatenate(sls),
+                               np.concatenate(els))
+        m = squad_string_em_f1(preds, examples)
+        print(f"SQuAD string metrics: exact_match {m['exact_match']:.2f} "
+              f"f1 {m['f1']:.2f}")
+        return
 
     # SQuAD-style evaluation (run_qa_no_trainer.py's `squad` metric at
     # span level): argmax spans AND n-best beam-searched spans (the
