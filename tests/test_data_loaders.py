@@ -209,6 +209,57 @@ def test_squad_v2_null_answers(squad_files, tmp_path):
     assert preds2["imp1"] != ""
 
 
+def test_qa_finetune_on_squad_features(squad_files):
+    """End-to-end plumbing: SQuAD JSON → features → BertForQA train step
+    (FP8 hybrid) → answer decode — the run_qa_no_trainer flow in
+    miniature."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import fp8tpu
+    from fp8tpu.data.squad import decode_answers
+    from fp8tpu.models import BertForQA, tiny_bert
+    from fp8tpu.training import init_train_state, make_train_step
+
+    j, vocab = squad_files
+    tok = WordPieceTokenizer(vocab)
+    examples = parse_squad_json(j)
+    f = convert_examples_to_features(examples, tok, max_seq_length=32,
+                                     doc_stride=8, max_query_length=12)
+    cfg = tiny_bert(vocab_size=len(tok.vocab), d_model=32, n_layers=1,
+                    n_heads=2, d_ff=64, max_position=32)
+    model = BertForQA(cfg)
+    ids = jnp.asarray(f.input_ids)
+    mask = jnp.asarray(f.attention_mask).astype(jnp.bool_)
+    types = jnp.asarray(f.token_type_ids)
+    variables = model.init(jax.random.key(0), ids)
+    emulator = fp8tpu.initialize(model, variables, (ids,),
+                                 training_algo="hybrid")
+
+    def loss_fn(apply_fn, params, batch):
+        i, m, t, s, e = batch
+        sl, el = apply_fn(params, i, m, t)
+        return (optax.softmax_cross_entropy_with_integer_labels(sl, s)
+                + optax.softmax_cross_entropy_with_integer_labels(
+                    el, e)).mean() / 2
+
+    opt = optax.adam(3e-3)
+    step = jax.jit(make_train_step(emulator, opt, loss_fn))
+    opt_state = init_train_state(opt, variables)
+    batch = (ids, mask, types, jnp.asarray(f.start), jnp.asarray(f.end))
+    losses = []
+    for i in range(8):
+        variables, opt_state, loss = step(variables, opt_state, batch,
+                                          jax.random.key(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]                  # it learns
+    sl, el = model.apply(variables, ids, mask, types)
+    preds = decode_answers(f, examples, np.asarray(sl), np.asarray(el))
+    assert set(preds) == {e.qid for e in examples}
+    assert all(isinstance(v, str) for v in preds.values())
+
+
 def test_squad_to_npz(squad_files, tmp_path):
     j, vocab = squad_files
     out = str(tmp_path / "feat.npz")
