@@ -1,5 +1,10 @@
 """Mesh construction and sharding rules (DP / TP / SP / PP / EP)."""
 
+from .grad_comm import (  # noqa: F401
+    wire_all_reduce,
+    wire_all_reduce_tree,
+    wire_bytes_per_element,
+)
 from .moe import (  # noqa: F401
     moe_ffn,
     quantize_expert_weights,

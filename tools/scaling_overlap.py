@@ -123,13 +123,20 @@ def project_tp(B, K, N, t, chunks, wbytes=1, abytes=2):
     return eff, t_comp, total
 
 
-def project_dp_hosts(n_hosts, params_bytes, step_flops, per_host_chips=8):
+def project_dp_hosts(n_hosts, params_bytes, step_flops, per_host_chips=8,
+                     fmt="e4m3"):
     """Projected multi-host data-parallel efficiency: per-step gradient
     all-reduce over DCN overlapped with the backward pass (the backward
-    is ~2/3 of step flops; its tail cannot hide the final bucket)."""
+    is ~2/3 of step flops; its tail cannot hide the final bucket).
+
+    ``fmt`` is the wire payload of parallel/grad_comm.wire_all_reduce
+    (None = f32 psum, "bf16", "e4m3"/"e5m2"/"int8" = quantized)."""
+    from fp8tpu.parallel import wire_bytes_per_element
+
     agg = MXU_BF16_FLOPS * MXU_MFU * per_host_chips
     t_step = step_flops / agg
-    v = params_bytes * 2 * (n_hosts - 1) / n_hosts   # bf16 grads, ring
+    n_params = params_bytes  # one byte-count arg doubles as param count
+    v = n_params * wire_bytes_per_element(fmt, n_hosts)
     t_ar = v / DCN_GBPS
     t_bwd = t_step * 2 / 3
     overlap_hidden = min(t_ar, t_bwd * 0.9)          # 90% of bwd usable
@@ -155,11 +162,34 @@ def main():
     step_flops = 6 * params * 64 * 512          # B=64, S=512 per host
     dp = {}
     for n in (2, 4, 8, 16):
-        eff = project_dp_hosts(n, params_bytes=params, step_flops=step_flops)
-        dp[f"hosts{n}_train_eff"] = round(eff, 3)
-        print(f"[dp] {n} hosts FP8-grad all-reduce over DCN: "
-              f"projected efficiency {eff:.1%} (target >= 85%)")
+        for fmt, tag in ((None, "f32"), ("bf16", "bf16"), ("e4m3", "fp8")):
+            eff = project_dp_hosts(n, params_bytes=params,
+                                   step_flops=step_flops, fmt=fmt)
+            dp[f"hosts{n}_train_eff_{tag}"] = round(eff, 3)
+        dp[f"hosts{n}_train_eff"] = dp[f"hosts{n}_train_eff_fp8"]
+        print(f"[dp] {n} hosts grad all-reduce over DCN "
+              f"(grad_comm.wire_all_reduce): f32 "
+              f"{dp[f'hosts{n}_train_eff_f32']:.1%} / bf16 "
+              f"{dp[f'hosts{n}_train_eff_bf16']:.1%} / fp8 "
+              f"{dp[f'hosts{n}_train_eff_fp8']:.1%} (target >= 85%)")
     results["dp_projection"] = dp
+
+    # Same projection at a communication-stressed point (B=8 per host:
+    # 8x less backward time to hide the same gradient bytes) — this is
+    # where the wire format separates and the fp8 payload earns the
+    # >=85% target that f32 misses.
+    dps = {}
+    small_flops = 6 * params * 8 * 512
+    for n in (4, 16):
+        for fmt, tag in ((None, "f32"), ("bf16", "bf16"), ("e4m3", "fp8")):
+            eff = project_dp_hosts(n, params_bytes=params,
+                                   step_flops=small_flops, fmt=fmt)
+            dps[f"hosts{n}_B8_train_eff_{tag}"] = round(eff, 3)
+        print(f"[dp-B8] {n} hosts, B=8/host: f32 "
+              f"{dps[f'hosts{n}_B8_train_eff_f32']:.1%} / bf16 "
+              f"{dps[f'hosts{n}_B8_train_eff_bf16']:.1%} / fp8 "
+              f"{dps[f'hosts{n}_B8_train_eff_fp8']:.1%}")
+    results["dp_projection_smallbatch"] = dps
 
     # pipeline parallelism (parallel/pipeline.py): GPipe bubble fraction
     # = (S-1)/(M+S-1); activations-hop bytes per tick are tiny next to
