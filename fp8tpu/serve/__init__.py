@@ -7,6 +7,14 @@ from .kv_cache import (  # noqa: F401
     RingKVCache,
     quantize_kv,
 )
+from .speculative import (  # noqa: F401
+    SpecStats,
+    draft_chunk,
+    greedy_verify,
+    sample_verify,
+    score_tokens,
+    speculative_decode,
+)
 from .model import (  # noqa: F401
     ServeConfig,
     convert_decoder_params,

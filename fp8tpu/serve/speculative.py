@@ -1,0 +1,396 @@
+"""Speculative decoding for the FP8 serving stack (draft + verify).
+
+No reference equivalent (the reference is an emulation library with no
+serving layer); this extends the north-star serving engine
+(BASELINE.md) with the standard draft-model speculation scheme
+[Leviathan et al. 2023]: a small draft model proposes ``K`` tokens
+autoregressively, then the target model scores all ``K+1`` positions in
+ONE multi-token pass.  Decode on TPU is weight-bytes-bound — the target
+streams its fp8 weights from HBM once per verify pass instead of once
+per token — so accepted-length ``a`` turns one weight stream into
+``a+1`` tokens.
+
+TPU-native design points:
+
+- **Verification is a single batched-matmul pass** (:func:`score_tokens`)
+  over the existing quantized ring cache: fresh Q/K/V for the T
+  speculated tokens, flash-style combine of the ring prefix and the
+  causal in-block part, and ring writes for all T rows.  The in-block
+  attention consumes the QUANTIZED fresh K/V — exactly what later steps
+  will read back from the ring — so the scorer agrees with the plain
+  decode loop up to XLA's shape-dependent f32 accumulation order
+  (greedy outputs match the plain loop token-for-token in
+  tests/test_speculative.py; the formal guarantee is that outputs are
+  the target scorer's own greedy/sampled law).
+- **Acceptance runs on device** (:func:`greedy_verify`,
+  :func:`sample_verify`): the host round-trip syncs two scalars
+  (accept count + bonus token), not logits.
+- **Rejected rows roll back by moving the ring head** — the ring's
+  age-based validity mask never sees them (the window reserves the
+  in-flight block, see ``score_tokens``).
+
+Sampling-mode verification implements the lossless rejection rule:
+accept ``d_t`` with prob ``min(1, p_t(d_t)/q_t(d_t))``; on the first
+rejection resample from ``norm(max(p_t - q_t, 0))``; if all ``K``
+accept, the bonus token samples from ``p_K``.  The output distribution
+equals the target model's (Leviathan et al., Thm 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fp8tpu.models.transformer import rope_freqs
+from .kv_cache import RingKVCache, quantize_kv
+from .model import (
+    ServeConfig,
+    _NEG,
+    _attn_xs,
+    _embed_lookup,
+    _ffn_block,
+    _first_token_logits,
+    _layer_xs,
+    _lm_head,
+    _make_linear,
+    _rms,
+    prefill,
+)
+
+
+# ---------------------------------------------------------------------------
+# Multi-token scoring against the ring (the verify forward)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("ring",))
+def score_tokens(params: Dict, ring: RingKVCache, tokens: jax.Array,
+                 positions: jax.Array, cfg: ServeConfig
+                 ) -> Tuple[jax.Array, RingKVCache]:
+    """Score T tokens per slot against the ring prefix in one pass.
+
+    tokens (B, T) int32; positions (B,) = each slot's current length
+    (the position of tokens[:, 0]).  Returns (logits (B, T, V) f32,
+    ring with the T fresh rows written at head..head+T-1 and head
+    advanced by T).
+
+    logits[:, t] is the next-token distribution after tokens[:, :t+1] —
+    numerically identical to running t+1 plain decode steps (the
+    in-block attention reads the QUANTIZED fresh K/V, matching what the
+    ring would serve).  The ring validity window shrinks to
+    ``S - T`` rows so post-rollback stale rows can never alias into the
+    mask once a slot's position exceeds the ring size.
+    """
+    mcfg = cfg.model
+    H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
+    B, T = tokens.shape
+    S = ring.max_seq
+    BK = B * KV
+    G = H // KV
+    linear = _make_linear(cfg)
+    inv_freq = rope_freqs(mcfg)
+    kv8, sc, head = ring.kv8, ring.sc, ring.head
+
+    h = _embed_lookup(params, tokens)                     # (B, T, Dm)
+
+    pos_bt = positions[:, None] + jnp.arange(T)[None]     # (B, T)
+    ang = pos_bt[..., None].astype(jnp.float32) * inv_freq
+    cos, sin = jnp.cos(ang), jnp.sin(ang)                 # (B, T, D/2)
+
+    def rope1(x):  # (B, T, n, D)
+        x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+        c, s = cos[:, :, None], sin[:, :, None]
+        return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
+                               axis=-1).astype(x.dtype)
+
+    # Ring prefix mask: identical for every t in the block (the prefix
+    # is fixed); reserve T rows so rolled-back rows stay invalid.
+    lens = jnp.minimum(positions, S - T)                  # (B,)
+    age = jnp.mod(head - 1 - jnp.arange(S), S)            # (S,)
+    ring_mask = age[None, :] < lens[:, None]              # (B, S)
+    causal = jnp.arange(T)[None, :] <= jnp.arange(T)[:, None]  # (Tq, Tk)
+
+    def layer_step(carry, xs):
+        h, li = carry
+        attn_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw = _attn_xs(xs)
+
+        x = _rms(h, attn_norm, mcfg.norm_eps)
+        q = linear(x, q8, qs).reshape(B, T, H, D)
+        k = linear(x, k8w, ksw).reshape(B, T, KV, D)
+        v = linear(x, v8w, vsw).reshape(B, T, KV, D)
+        q, k = rope1(q), rope1(k)
+
+        kq8, kqs = quantize_kv(k, cfg.kv_fmt)             # (B,T,KV,D)
+        vq8, vqs = quantize_kv(v, cfg.kv_fmt)
+        kqs, vqs = kqs[..., 0], vqs[..., 0]               # (B,T,KV)
+
+        qg = (q.astype(jnp.float32)
+              / jnp.sqrt(D).astype(jnp.float32)).astype(q.dtype)
+        # (B,T,H,D) → (B,KV,T*G,D) → (BK, T*G, D): ring columns are
+        # b*KV + kv, so KV must lead T/G.
+        qf = qg.reshape(B, T, KV, G, D).transpose(0, 2, 1, 3, 4)
+        qf = qf.reshape(BK, T * G, D)
+
+        rk8, rks = kv8[:, 0, li], sc[:, 0, li]            # (S,BK,D),(S,BK)
+        rv8, rvs = kv8[:, 1, li], sc[:, 1, li]
+        scores = jnp.einsum(
+            "xyd,sxd->xys", qf, rk8.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, KV, T, G, S) * rks.T.reshape(B, KV, 1, 1, S)
+        scores = jnp.where(ring_mask[:, None, None, None, :], scores,
+                           _NEG)                          # (B,KV,T,G,S)
+
+        # In-block causal part on the QUANTIZED fresh keys.
+        kf = kq8.transpose(0, 2, 1, 3)                    # (B,KV,Tk,D)
+        sscores = jnp.einsum(
+            "bkqgd,bktd->bkqgt",
+            qg.reshape(B, T, KV, G, D).transpose(0, 2, 1, 3, 4),
+            kf.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * kqs.transpose(0, 2, 1)[:, :, None, None, :]   # (B,KV,Tq,G,Tk)
+        sscores = jnp.where(causal[None, None, :, None, :], sscores, _NEG)
+
+        m = jnp.maximum(jnp.max(scores, axis=-1),
+                        jnp.max(sscores, axis=-1))        # (B,KV,T,G)
+        pc = jnp.exp(scores - m[..., None])
+        ps = jnp.exp(sscores - m[..., None])
+        l = pc.sum(-1) + ps.sum(-1)
+
+        pcs = (pc * rvs.T.reshape(B, KV, 1, 1, S)).astype(q.dtype)
+        ctx = jnp.einsum(
+            "xys,sxd->xyd", pcs.reshape(BK, T * G, S), rv8.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, KV, T, G, D)
+        vf = vq8.transpose(0, 2, 1, 3)                    # (B,KV,Tk,D)
+        ctx = ctx + jnp.einsum(
+            "bkqgt,bktd->bkqgd",
+            ps * vqs.transpose(0, 2, 1)[:, :, None, None, :],
+            vf.astype(jnp.float32))
+        ctx = (ctx / l[..., None]).transpose(0, 2, 1, 3, 4)  # (B,T,KV,G,D)
+        ctx = ctx.reshape(B, T, H * D).astype(jnp.bfloat16)
+
+        h = h + linear(ctx, o8, osw)
+        h = _ffn_block(h, xs, mcfg, linear)
+        return (h, li + 1), (kq8, kqs, vq8, vqs)
+
+    h = h.astype(jnp.bfloat16)
+    (h, _), (fk8, fks, fv8, fvs) = jax.lax.scan(
+        layer_step, (h, jnp.int32(0)), _layer_xs(params))
+    # fk8: (L, B, T, KV, D) → rows-first (T, L, BK, D)
+    L = fk8.shape[0]
+    vals8 = jnp.stack([fk8, fv8], axis=1)                 # (L,2,B,T,KV,D)
+    vals8 = vals8.transpose(3, 1, 0, 2, 4, 5).reshape(T, 2, L, BK, D)
+    valss = jnp.stack([fks, fvs], axis=1)                 # (L,2,B,T,KV)
+    valss = valss.transpose(3, 1, 0, 2, 4).reshape(T, 2, L, BK)
+    rows = jnp.mod(head + jnp.arange(T), S)
+    kv8 = kv8.at[rows].set(vals8.astype(kv8.dtype))
+    sc = sc.at[rows].set(valss)
+    head = jnp.mod(head + T, S)
+
+    h = _rms(h, params["final_norm"], mcfg.norm_eps)
+    logits = _lm_head(params, h.reshape(B * T, -1)).reshape(B, T, -1)
+    return logits, RingKVCache(kv8, sc, head)
+
+
+def rollback(ring: RingKVCache, n) -> RingKVCache:
+    """Discard the last ``n`` written rows by retreating the head.
+
+    Rolled-back rows stay masked because :func:`score_tokens` reserves
+    the in-flight block from the validity window."""
+    S = ring.max_seq
+    return RingKVCache(ring.kv8, ring.sc,
+                       jnp.mod(ring.head - n + S, S).astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Device-side acceptance
+# ---------------------------------------------------------------------------
+
+def greedy_verify(logits: jax.Array, draft: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """logits (B, K+1, V) from :func:`score_tokens` over
+    [last, d_1..d_K]; draft (B, K) the drafted tokens.  Returns
+    (accepted count a (B,) int32 in [0, K], bonus token (B,) —
+    argmax(logits[:, a]), i.e. the first token the target disagrees on,
+    or the free K+1-th token when everything matched)."""
+    tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # (B, K+1)
+    matches = tgt[:, :-1] == draft                        # (B, K)
+    a = jnp.sum(jnp.cumprod(matches.astype(jnp.int32), axis=1), axis=1)
+    bonus = jnp.take_along_axis(tgt, a[:, None], axis=1)[:, 0]
+    return a, bonus
+
+
+def sample_verify(logits_p: jax.Array, logits_q: jax.Array,
+                  draft: jax.Array, key: jax.Array,
+                  temperature: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Lossless rejection-sampling acceptance.
+
+    logits_p (B, K+1, V): target logits over [last, d_1..d_K];
+    logits_q (B, K, V): draft logits that SAMPLED d_1..d_K;
+    draft (B, K); temperature (B,) > 0.  Returns (a, bonus) with the
+    bonus drawn from the residual ``norm(max(p_a - q_a, 0))`` (or from
+    ``p_K`` when all K accepted) — the output sequence is distributed
+    exactly as target-only sampling."""
+    B, K = draft.shape
+    t = jnp.maximum(temperature, 1e-6)[:, None, None]
+    p = jax.nn.softmax(logits_p / t, axis=-1)             # (B, K+1, V)
+    q = jax.nn.softmax(logits_q / t[:, :, 0, None], axis=-1)  # (B, K, V)
+
+    kacc, kres = jax.random.split(key)
+    pd = jnp.take_along_axis(p[:, :K], draft[..., None], axis=-1)[..., 0]
+    qd = jnp.take_along_axis(q, draft[..., None], axis=-1)[..., 0]
+    u = jax.random.uniform(kacc, (B, K))
+    accept = u * qd < pd                                  # u < p/q
+    a = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
+
+    # Residual at the first rejected position (q padded with 0 at K so
+    # the all-accepted case resamples from p_K itself).
+    qz = jnp.concatenate([q, jnp.zeros_like(q[:, :1])], axis=1)
+    p_a = jnp.take_along_axis(p, a[:, None, None], axis=1)[:, 0]
+    q_a = jnp.take_along_axis(qz, a[:, None, None], axis=1)[:, 0]
+    residual = jnp.maximum(p_a - q_a, 0.0)
+    residual = residual / jnp.maximum(residual.sum(-1, keepdims=True),
+                                      1e-30)
+    bonus = jax.random.categorical(kres, jnp.log(residual + 1e-30),
+                                   axis=-1).astype(jnp.int32)
+    return a, bonus
+
+
+# ---------------------------------------------------------------------------
+# Draft chunk (logits + the tokens those logits sampled, one dispatch)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_steps", "cfg"),
+         donate_argnames=("ring",))
+def draft_chunk(params: Dict, ring: RingKVCache, tokens: jax.Array,
+                positions: jax.Array, key: jax.Array,
+                temperature: jax.Array, n_steps: int, cfg: ServeConfig):
+    """K draft steps returning (drafted (B, K), logits (B, K, V), ring).
+
+    Reuses the core decode scan with ``want_logits=True`` and re-derives
+    each step's sampled token with the SAME per-step key split the scan
+    uses — so the returned (token, logits) pairs are exactly the
+    (sample, distribution) pairs the rejection rule needs."""
+    from .model import _steps_impl, sample_tokens
+
+    logits, ring, _, _ = _steps_impl(
+        params, ring, tokens, positions, key, temperature, n_steps, cfg,
+        want_logits=True)                                 # (K, B, V)
+    keys = jax.random.split(key, n_steps)
+    drafted = jax.vmap(
+        lambda lg, k: sample_tokens(lg, k, temperature))(logits, keys)
+    return drafted.T, logits.transpose(1, 0, 2), ring
+
+
+# ---------------------------------------------------------------------------
+# Host-side speculative decode driver (single sequence)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SpecStats:
+    rounds: int = 0
+    drafted: int = 0
+    accepted: int = 0
+    emitted: int = 0
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.accepted / max(self.drafted, 1)
+
+    @property
+    def tokens_per_round(self) -> float:
+        return self.emitted / max(self.rounds, 1)
+
+
+def speculative_decode(params: Dict, draft_params: Dict,
+                       prompt, n_new: int, cfg: ServeConfig,
+                       dcfg: ServeConfig, k_spec: int = 4,
+                       max_seq: Optional[int] = None,
+                       temperature: float = 0.0,
+                       key: Optional[jax.Array] = None
+                       ) -> Tuple[List[int], SpecStats]:
+    """Generate ``n_new`` tokens from ``prompt`` with draft/verify
+    rounds (single sequence; greedy when ``temperature == 0``, exact
+    vs the plain decode loop; lossless rejection sampling otherwise).
+
+    Returns (tokens, stats).  The host loop syncs two scalars per round;
+    drafting and verification each run as one compiled dispatch.
+    """
+    import numpy as np
+
+    prompt = list(map(int, prompt))
+    mcfg, dmcfg = cfg.model, dcfg.model
+    S = max_seq or mcfg.max_seq_len
+    K = int(k_spec)
+    assert cfg.ring_flush in (0, None) and dcfg.ring_flush in (0, None), \
+        "speculative decode drives the plain ring path"
+    key = key if key is not None else jax.random.key(0)
+    temp1 = jnp.full((1,), float(temperature), jnp.float32)
+
+    ring = RingKVCache.create(mcfg.n_layers, 1, S, mcfg.n_kv_heads,
+                              mcfg.head_dim, cfg.kv_fmt)
+    dring = RingKVCache.create(dmcfg.n_layers, 1, S, dmcfg.n_kv_heads,
+                               dmcfg.head_dim, dcfg.kv_fmt)
+
+    ptoks = jnp.asarray(prompt, jnp.int32)
+    plen = jnp.asarray(len(prompt), jnp.int32)
+    logits0, ring = prefill(params, ring, ptoks, jnp.int32(0), plen, cfg)
+    _, dring = prefill(draft_params, dring, ptoks, jnp.int32(0), plen,
+                       dcfg)
+    if temperature == 0.0:
+        first = int(jnp.argmax(logits0))
+    else:
+        key, k0 = jax.random.split(key)
+        first = int(jax.random.categorical(
+            k0, logits0 / max(temperature, 1e-6)))
+
+    ctx = prompt + [first]       # target ring holds ctx[:-1]
+    dpos = len(prompt)           # draft ring holds ctx[:dpos]
+    out: List[int] = [first]
+    stats = SpecStats(emitted=1)
+
+    while len(out) < n_new:
+        # Catch the draft cache up to ctx[:-1] (0 or 1 pending tokens).
+        n_pending = len(ctx) - 1 - dpos
+        if n_pending > 0:
+            pend = jnp.asarray([ctx[dpos:-1]], jnp.int32)
+            _, dring = score_tokens(draft_params, dring, pend,
+                                    jnp.asarray([dpos], jnp.int32), dcfg)
+            dpos += n_pending
+
+        key, kd, kv = jax.random.split(key, 3)
+        drafted, dlogits, dring = draft_chunk(
+            draft_params, dring, jnp.asarray([ctx[-1]], jnp.int32),
+            jnp.asarray([dpos], jnp.int32), kd, temp1, K, dcfg)
+        # draft wrote K rows (ctx[-1], d_1..d_{K-1})
+
+        vtoks = jnp.concatenate(
+            [jnp.asarray([[ctx[-1]]], jnp.int32), drafted], axis=1)
+        tpos = jnp.asarray([len(ctx) - 1], jnp.int32)
+        logits, ring = score_tokens(params, ring, vtoks, tpos, cfg)
+        if temperature == 0.0:
+            a, bonus = greedy_verify(logits, drafted)
+        else:
+            a, bonus = sample_verify(logits, dlogits, drafted, kv, temp1)
+        a_i, bonus_i = int(a[0]), int(bonus[0])
+
+        ring = rollback(ring, K - a_i)
+        dkeep = min(a_i + 1, K)              # rows for ctx[-1], d_1..d_a
+        dring = rollback(dring, K - dkeep)
+        dpos += dkeep
+
+        accepted = [int(drafted[0, t]) for t in range(a_i)] + [bonus_i]
+        ctx.extend(accepted)
+        out.extend(accepted)
+        stats.rounds += 1
+        stats.drafted += K
+        stats.accepted += a_i
+        stats.emitted += len(accepted)
+        if len(ctx) >= S - (K + 2):
+            break                            # ring window exhausted
+
+    return out[:n_new], stats

@@ -1,0 +1,266 @@
+"""Speculative decoding tests (serve/speculative.py).
+
+The load-bearing property: greedy speculative decode emits EXACTLY the
+same tokens as the plain decode loop — acceptance only changes how many
+dispatches it took, never the text.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fp8tpu.models import tiny_config
+from fp8tpu.serve import RingKVCache, ServeConfig, prefill, decode_step
+from fp8tpu.serve.model import random_serve_params
+from fp8tpu.serve.speculative import (
+    SpecStats,
+    draft_chunk,
+    greedy_verify,
+    rollback,
+    sample_verify,
+    score_tokens,
+    speculative_decode,
+)
+
+
+def _mk(n_layers=2, d_model=64, n_heads=4, n_kv_heads=2, d_ff=128,
+        vocab=128, seq=96, seed=0, kv_fmt="e4m3"):
+    cfg = tiny_config(n_layers=n_layers, d_model=d_model, n_heads=n_heads,
+                      n_kv_heads=n_kv_heads, d_ff=d_ff, vocab_size=vocab,
+                      max_seq_len=seq)
+    params = random_serve_params(cfg, "e4m3", seed=seed)
+    return cfg, params, ServeConfig(model=cfg, kv_fmt=kv_fmt)
+
+
+def _plain_greedy(params, scfg, prompt, n_new, S):
+    """Reference: prefill + n_new single-token decode steps, argmax."""
+    mcfg = scfg.model
+    ring = RingKVCache.create(mcfg.n_layers, 1, S, mcfg.n_kv_heads,
+                              mcfg.head_dim, scfg.kv_fmt)
+    ptoks = jnp.asarray(prompt, jnp.int32)
+    logits, ring = prefill(params, ring, ptoks, jnp.int32(0),
+                           jnp.asarray(len(prompt), jnp.int32), scfg)
+    toks = [int(jnp.argmax(logits))]
+    pos = len(prompt)
+    while len(toks) < n_new:
+        lg, ring = decode_step(params, ring,
+                               jnp.asarray([toks[-1]], jnp.int32),
+                               jnp.asarray([pos], jnp.int32), scfg)
+        toks.append(int(jnp.argmax(lg[0])))
+        pos += 1
+    return toks
+
+
+@pytest.fixture(scope="module")
+def target():
+    return _mk(seed=0)
+
+
+@pytest.fixture(scope="module")
+def draft():
+    return _mk(n_layers=1, d_model=32, n_heads=2, n_kv_heads=2, d_ff=64,
+               seed=1)
+
+
+def test_score_tokens_matches_single_steps(target):
+    """score_tokens over T tokens == T chained decode_steps: same logits
+    (flash partials add exact zeros for masked in-block slots) and the
+    same quantized ring rows."""
+    cfg, params, scfg = target
+    prompt = [3, 14, 15, 9, 2, 6]
+    T = 5
+    toks = [7, 21, 42, 77, 11]
+    S = 64
+
+    ring_a = RingKVCache.create(cfg.n_layers, 1, S, cfg.n_kv_heads,
+                                cfg.head_dim, scfg.kv_fmt)
+    _, ring_a = prefill(params, ring_a, jnp.asarray(prompt, jnp.int32),
+                        jnp.int32(0), jnp.asarray(len(prompt), jnp.int32),
+                        scfg)
+    step_logits = []
+    pos = len(prompt)
+    for t in toks:
+        lg, ring_a = decode_step(params, ring_a,
+                                 jnp.asarray([t], jnp.int32),
+                                 jnp.asarray([pos], jnp.int32), scfg)
+        step_logits.append(np.asarray(lg[0]))
+        pos += 1
+
+    ring_b = RingKVCache.create(cfg.n_layers, 1, S, cfg.n_kv_heads,
+                                cfg.head_dim, scfg.kv_fmt)
+    _, ring_b = prefill(params, ring_b, jnp.asarray(prompt, jnp.int32),
+                        jnp.int32(0), jnp.asarray(len(prompt), jnp.int32),
+                        scfg)
+    logits, ring_b = score_tokens(params, ring_b,
+                                  jnp.asarray([toks], jnp.int32),
+                                  jnp.asarray([len(prompt)], jnp.int32),
+                                  scfg)
+    logits = np.asarray(logits[0])
+
+    for t in range(T):
+        # XLA accumulates f32 dots in a shape-dependent order, so the
+        # (B*T, Dm) and (B, Dm) paths differ by float noise; the greedy
+        # contract is argmax agreement.
+        np.testing.assert_allclose(logits[t], step_logits[t],
+                                   rtol=0, atol=1e-2)
+        assert int(np.argmax(logits[t])) == int(np.argmax(step_logits[t]))
+
+    assert int(ring_a.head) == int(ring_b.head)
+    # Cached K/V agree to within fp8 quantization of the float noise
+    # (compare dequantized values, not payload bits).
+    deq_a = (np.asarray(ring_a.kv8, np.float32)
+             * np.asarray(ring_a.sc)[..., None])
+    deq_b = (np.asarray(ring_b.kv8, np.float32)
+             * np.asarray(ring_b.sc)[..., None])
+    np.testing.assert_allclose(deq_a, deq_b, rtol=0.1, atol=5e-3)
+
+
+def test_greedy_exact_vs_plain_decode(target, draft):
+    cfg, params, scfg = target
+    _, dparams, dscfg = draft
+    prompt = [5, 9, 1, 30, 2]
+    n_new = 24
+    ref = _plain_greedy(params, scfg, prompt, n_new, S=96)
+    out, stats = speculative_decode(params, dparams, prompt, n_new,
+                                    scfg, dscfg, k_spec=4, max_seq=96)
+    assert out == ref, (out, ref)
+    assert stats.emitted >= n_new
+    assert stats.rounds >= 1
+
+
+def test_self_draft_accepts_everything(target):
+    """Draft == target: every greedy draft must verify (score_tokens and
+    the decode loop agree at argmax), so each round emits K+1 tokens."""
+    cfg, params, scfg = target
+    prompt = [2, 4, 8, 16]
+    n_new = 20
+    ref = _plain_greedy(params, scfg, prompt, n_new, S=96)
+    out, stats = speculative_decode(params, params, prompt, n_new,
+                                    scfg, scfg, k_spec=4, max_seq=96)
+    assert out == ref
+    assert stats.acceptance_rate == 1.0, stats
+    # every round emits K+1 tokens (emitted also counts the prefill token)
+    assert (stats.emitted - 1) / stats.rounds == pytest.approx(5.0)
+
+
+def test_rollback_restores_decode_state(target):
+    """Score 4, roll back 2 → continuing must equal the path that only
+    ever scored 2."""
+    cfg, params, scfg = target
+    prompt = [1, 2, 3]
+    S = 64
+
+    def fresh():
+        ring = RingKVCache.create(cfg.n_layers, 1, S, cfg.n_kv_heads,
+                                  cfg.head_dim, scfg.kv_fmt)
+        _, ring = prefill(params, ring, jnp.asarray(prompt, jnp.int32),
+                          jnp.int32(0),
+                          jnp.asarray(len(prompt), jnp.int32), scfg)
+        return ring
+
+    ring = fresh()
+    _, ring = score_tokens(params, ring,
+                           jnp.asarray([[7, 8, 9, 10]], jnp.int32),
+                           jnp.asarray([len(prompt)], jnp.int32), scfg)
+    ring = rollback(ring, 2)
+    lg_a, _ = decode_step(params, ring, jnp.asarray([42], jnp.int32),
+                          jnp.asarray([len(prompt) + 2], jnp.int32), scfg)
+
+    ring2 = fresh()
+    _, ring2 = score_tokens(params, ring2,
+                            jnp.asarray([[7, 8]], jnp.int32),
+                            jnp.asarray([len(prompt)], jnp.int32), scfg)
+    lg_b, _ = decode_step(params, ring2, jnp.asarray([42], jnp.int32),
+                          jnp.asarray([len(prompt) + 2], jnp.int32), scfg)
+    np.testing.assert_allclose(np.asarray(lg_a), np.asarray(lg_b),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_greedy_verify_counts():
+    V = 16
+    logits = np.full((1, 4, V), -10.0, np.float32)
+    # target argmaxes: 3, 5, 7, 9
+    for t, tok in enumerate([3, 5, 7, 9]):
+        logits[0, t, tok] = 10.0
+    # draft matches 2, then diverges
+    a, bonus = greedy_verify(jnp.asarray(logits),
+                             jnp.asarray([[3, 5, 0]], jnp.int32))
+    assert int(a[0]) == 2 and int(bonus[0]) == 7
+    # all match → bonus is the free K+1-th token
+    a, bonus = greedy_verify(jnp.asarray(logits),
+                             jnp.asarray([[3, 5, 7]], jnp.int32))
+    assert int(a[0]) == 3 and int(bonus[0]) == 9
+    # immediate mismatch
+    a, bonus = greedy_verify(jnp.asarray(logits),
+                             jnp.asarray([[4, 5, 7]], jnp.int32))
+    assert int(a[0]) == 0 and int(bonus[0]) == 3
+
+
+def test_sample_verify_marginal_matches_target():
+    """Leviathan Thm 1: the emitted first token (accepted draft or the
+    residual resample) is distributed as the TARGET p — checked
+    empirically over a batch of independent trials."""
+    V, N = 8, 40000
+    rng = np.random.default_rng(3)
+    p_logits = rng.standard_normal(V).astype(np.float32) * 1.5
+    q_logits = rng.standard_normal(V).astype(np.float32) * 1.5
+    p = np.exp(p_logits) / np.exp(p_logits).sum()
+    q = np.exp(q_logits) / np.exp(q_logits).sum()
+
+    key = jax.random.key(0)
+    kd, kv = jax.random.split(key)
+    draft = jax.random.categorical(
+        kd, jnp.asarray(np.tile(q_logits, (N, 1))), axis=-1
+    ).astype(jnp.int32)[:, None]                          # (N, 1) ~ q
+    lp = jnp.asarray(np.tile(p_logits, (N, 2, 1)))        # (N, 2, V)
+    lq = jnp.asarray(np.tile(q_logits, (N, 1, 1)))        # (N, 1, V)
+    a, bonus = sample_verify(lp, lq, draft, kv,
+                             jnp.ones((N,), jnp.float32))
+    first = np.where(np.asarray(a) >= 1, np.asarray(draft[:, 0]),
+                     np.asarray(bonus))
+    hist = np.bincount(first, minlength=V) / N
+    tv = 0.5 * np.abs(hist - p).sum()
+    assert tv < 0.02, (tv, hist, p)
+    # sanity: acceptance rate ≈ sum min(p, q)
+    acc = float((np.asarray(a) >= 1).mean())
+    assert acc == pytest.approx(np.minimum(p, q).sum(), abs=0.02)
+
+
+def test_sampling_mode_runs_and_is_plausible(target, draft):
+    cfg, params, scfg = target
+    _, dparams, dscfg = draft
+    out, stats = speculative_decode(params, dparams, [1, 2, 3], 12,
+                                    scfg, dscfg, k_spec=3, max_seq=96,
+                                    temperature=0.8,
+                                    key=jax.random.key(5))
+    assert len(out) == 12
+    assert all(0 <= t < cfg.vocab_size for t in out)
+    assert stats.rounds >= 12 // 4
+
+
+def test_draft_chunk_tokens_match_logits(target):
+    """draft_chunk's (token, logits) pairs must be consistent: each
+    returned token re-samples from its own returned logits with the same
+    per-step key."""
+    cfg, params, scfg = target
+    S = 64
+    ring = RingKVCache.create(cfg.n_layers, 1, S, cfg.n_kv_heads,
+                              cfg.head_dim, scfg.kv_fmt)
+    _, ring = prefill(params, ring, jnp.asarray([1, 2, 3], jnp.int32),
+                      jnp.int32(0), jnp.int32(3), scfg)
+    key = jax.random.key(9)
+    drafted, logits, _ = draft_chunk(
+        params, ring, jnp.asarray([5], jnp.int32),
+        jnp.asarray([3], jnp.int32), key,
+        jnp.zeros((1,), jnp.float32), 4, scfg)
+    # temperature 0 → tokens are the argmaxes of the returned logits
+    np.testing.assert_array_equal(np.asarray(drafted[0]),
+                                  np.argmax(np.asarray(logits[0]), -1))
+
+
+def test_spec_stats():
+    s = SpecStats(rounds=4, drafted=16, accepted=10, emitted=14)
+    assert s.acceptance_rate == pytest.approx(10 / 16)
+    assert s.tokens_per_round == pytest.approx(3.5)
