@@ -47,6 +47,9 @@ def main():
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--n-experts", type=int, default=0,
                    help="MoE FFN with this many experts (0 = dense MLP)")
+    p.add_argument("--opt8", action="store_true",
+                   help="8-bit Adam moments (int8 m / e4m3 v, "
+                        "per-block scales): 4x less optimizer memory")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize decoder layers (jax.checkpoint)")
     p.add_argument("--checkpoint-dir", default=None)
@@ -70,7 +73,11 @@ def main():
     emulator = fp8tpu.initialize(
         model, variables, (tokens,), training_algo=args.training_algo,
         master_fmt=args.master_fmt, emb_fmt=args.emb_fmt)
-    optimizer = optax.adamw(args.lr)
+    if args.opt8:
+        from fp8tpu.training import adamw_8bit
+        optimizer = adamw_8bit(args.lr)   # int8/e4m3 Adam moments
+    else:
+        optimizer = optax.adamw(args.lr)
 
     if args.n_experts:
         from fp8tpu.models.transformer import moe_aux_loss

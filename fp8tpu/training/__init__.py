@@ -1,5 +1,10 @@
 """FP8 mixed-precision training recipes."""
 
+from .opt8 import (  # noqa: F401
+    adamw_8bit,
+    scale_by_adam_8bit,
+    state_bytes,
+)
 from .mpt import (  # noqa: F401
     LossScaleState,
     MPTEmulator,
