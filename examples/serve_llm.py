@@ -43,6 +43,11 @@ def main():
     p.add_argument("--n-experts", type=int, default=0,
                    help="MoE FFN: serve quantized expert stacks with "
                         "exact top-2 combine (0 = dense)")
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="B=1 latency mode: draft K tokens per round "
+                        "with a small draft model, verify in one "
+                        "multi-token pass (greedy output is identical "
+                        "to plain decode)")
     args = p.parse_args()
 
     cfg = DecoderConfig(
@@ -59,6 +64,37 @@ def main():
 
     scfg = ServeConfig(model=cfg, weight_fmt=args.weight_fmt,
                        kv_fmt=args.kv_fmt)
+
+    if args.speculative:
+        import dataclasses
+        from fp8tpu.serve import speculative_decode
+
+        dcfg = dataclasses.replace(
+            cfg, n_layers=max(1, args.n_layers // 4),
+            d_model=max(64, args.d_model // 4),
+            n_heads=max(2, args.d_model // 256),
+            n_kv_heads=max(2, args.d_model // 256),
+            d_ff=max(64, args.d_model // 4) * 3, n_experts=0)
+        dmodel = Decoder(dcfg)
+        dvars = jax.jit(dmodel.init)(jax.random.key(1),
+                                     jnp.ones((1, 8), jnp.int32))
+        dparams = convert_decoder_params(dvars, dcfg, fmt=args.weight_fmt)
+        dscfg = ServeConfig(model=dcfg, weight_fmt=args.weight_fmt,
+                            kv_fmt=args.kv_fmt)
+        prompt = list(range(1, 12))
+        t0 = time.time()
+        toks, stats = speculative_decode(
+            params, dparams, prompt, args.max_new_tokens, scfg, dscfg,
+            k_spec=args.speculative, max_seq=args.max_seq,
+            temperature=args.temperature)
+        dt = time.time() - t0
+        print(f"speculative K={args.speculative}: {len(toks)} tokens in "
+              f"{dt:.1f}s ({len(toks)/dt:.0f} tok/s), acceptance "
+              f"{stats.acceptance_rate:.2f}, "
+              f"{stats.tokens_per_round:.2f} tok/round")
+        print(f"  tokens: {toks[:16]}{'...' if len(toks) > 16 else ''}")
+        return
+
     engine = ServingEngine(params, scfg, n_slots=args.slots,
                            max_seq=args.max_seq, use_paged=args.paged)
     reqs = [Request(uid=i, prompt=list(range(1 + i, 12 + i)),
