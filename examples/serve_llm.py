@@ -35,6 +35,9 @@ def main():
     p.add_argument("--paged", action="store_true",
                    help="page-pool KV memory (long context) instead of "
                         "the ring")
+    p.add_argument("--prefix-cache", action="store_true",
+                   help="(paged) share content-addressed prompt pages "
+                        "across requests with a common prefix")
     p.add_argument("--slots", type=int, default=4)
     p.add_argument("--max-seq", type=int, default=512)
     p.add_argument("--requests", type=int, default=8)
@@ -96,7 +99,8 @@ def main():
         return
 
     engine = ServingEngine(params, scfg, n_slots=args.slots,
-                           max_seq=args.max_seq, use_paged=args.paged)
+                           max_seq=args.max_seq, use_paged=args.paged,
+                           prefix_cache=args.prefix_cache)
     reqs = [Request(uid=i, prompt=list(range(1 + i, 12 + i)),
                     max_new_tokens=args.max_new_tokens,
                     temperature=args.temperature)

@@ -90,7 +90,7 @@ class ServingEngine:
                  max_seq: Optional[int] = None, seed: int = 0,
                  chunk_size: int = 32, use_paged: bool = False,
                  page_size: int = 64, n_pages: Optional[int] = None,
-                 depth: int = 2):
+                 depth: int = 2, prefix_cache: bool = False):
         m = cfg.model
         self.params = params
         self.cfg = cfg
@@ -122,7 +122,23 @@ class ServingEngine:
             # slowdown on the tunneled chip)
             self._table = np.asarray(self.cache.page_table).copy()
             self._table_dirty = False
+            # Shared-prefix page cache (vLLM-style, memory-level): pages
+            # wholly inside a prompt are content-addressed by their full
+            # token history; a later request with the same prefix maps
+            # the SAME physical pages instead of new ones.  Prefill still
+            # recomputes the dense forward (it rewrites identical bytes —
+            # the forward is deterministic, so shared-page writes are
+            # benign); the win is pool capacity: N requests with a common
+            # system prompt hold one copy of its pages.  Reclamation is
+            # refcounted; cached pages with no holder stay resident and
+            # evict LRU when the pool runs dry.
+            self.prefix_cache = prefix_cache
+            self._page_ref = np.zeros(n_pages, np.int64)
+            from collections import OrderedDict
+            self._prefix_index: "OrderedDict[tuple, int]" = OrderedDict()
+            self._page_prefix: Dict[int, tuple] = {}
         else:
+            self.prefix_cache = False
             self.cache = RingKVCache.create(m.n_layers, n_slots,
                                             self.max_seq, m.n_kv_heads,
                                             m.head_dim, cfg.kv_fmt)
@@ -220,10 +236,65 @@ class ServingEngine:
         self.slots[i] = None
         self._pending[i] = 0
         if self.use_paged:
-            self.free_pages.extend(self._slot_pages[i])
+            if self.prefix_cache:
+                for p in self._slot_pages[i]:
+                    self._page_ref[p] -= 1
+                    if self._page_ref[p] == 0 \
+                            and p not in self._page_prefix:
+                        self.free_pages.append(p)
+                    # refcount-0 cached pages stay resident (evictable)
+            else:
+                self.free_pages.extend(self._slot_pages[i])
             self._slot_pages[i] = []
             self._table[i] = -1
             self._table_dirty = True
+
+    def _alloc_pages(self, n: int) -> Optional[List[int]]:
+        """Allocate ``n`` private pages: the free list first, then LRU
+        eviction of cached refcount-0 prefix pages.  None if short."""
+        pages = []
+        while len(pages) < n and self.free_pages:
+            pages.append(self.free_pages.pop())
+        if len(pages) < n and self.prefix_cache:
+            for key in list(self._prefix_index):
+                if len(pages) >= n:
+                    break
+                p = self._prefix_index[key]
+                if self._page_ref[p] == 0:
+                    del self._prefix_index[key]
+                    del self._page_prefix[p]
+                    pages.append(p)
+        if len(pages) < n:
+            self.free_pages.extend(pages)
+            return None
+        return pages
+
+    def _shared_prefix_pages(self, prompt: List[int]) -> List[int]:
+        """Longest chain of cached pages covering the prompt's full
+        pages (positions the slot never rewrites: generation starts at
+        len(prompt), beyond every fully-covered page)."""
+        if not self.prefix_cache:
+            return []
+        psz = self.cache.page_size
+        shared = []
+        for k in range(1, len(prompt) // psz + 1):
+            page = self._prefix_index.get(tuple(prompt[:k * psz]))
+            if page is None:
+                break
+            self._prefix_index.move_to_end(tuple(prompt[:k * psz]))
+            shared.append(page)
+        return shared
+
+    def _register_prefix_pages(self, i: int, prompt: List[int]):
+        """Content-address this slot's fully-covered prompt pages (their
+        bytes are final once the prefill dispatch wrote them)."""
+        psz = self.cache.page_size
+        for k in range(1, len(prompt) // psz + 1):
+            key = tuple(prompt[:k * psz])
+            page = self._slot_pages[i][k - 1]
+            if key not in self._prefix_index:
+                self._prefix_index[key] = page
+                self._page_prefix[page] = key
 
     def _sync_table(self):
         if self.use_paged and self._table_dirty:
@@ -303,13 +374,27 @@ class ServingEngine:
             if self.use_paged:
                 # Map enough pages for prompt + generation budget up
                 # front; stay queued (FIFO) if the pool can't satisfy it.
+                # With prefix_cache, cached pages covering the prompt's
+                # full pages are mapped shared; only the rest allocates.
                 need_tokens = min(len(prompt) + req.max_new_tokens + 1,
                                   self.max_seq)
                 psz = self.cache.page_size
                 need = -(-need_tokens // psz)
-                if len(self.free_pages) < need:
+                shared = self._shared_prefix_pages(prompt)[:need]
+                # Pin shared pages BEFORE allocating: _alloc_pages evicts
+                # refcount-0 cached pages, which must not include pages
+                # just selected for this very admission.
+                for p in shared:
+                    self._page_ref[p] += 1
+                priv = self._alloc_pages(need - len(shared))
+                if priv is None:
+                    for p in shared:
+                        self._page_ref[p] -= 1
                     break
-                pages = [self.free_pages.pop() for _ in range(need)]
+                pages = shared + priv
+                if self.prefix_cache:
+                    for p in priv:
+                        self._page_ref[p] += 1
                 self._slot_pages[i] = pages
                 self._table[i] = -1
                 self._table[i, :need] = pages
@@ -342,6 +427,9 @@ class ServingEngine:
             jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps),
             self._tokens_dev, self._pos_dev, self.cfg)
         firsts = np.asarray(first)              # ONE readback per batch
+        if self.use_paged and self.prefix_cache:
+            for i, req, prompt in batch:
+                self._register_prefix_pages(i, prompt)
         for j, (i, req, prompt) in enumerate(batch):
             tok = int(firsts[j])
             self._gen[i] += 1
