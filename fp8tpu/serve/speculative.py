@@ -195,6 +195,161 @@ def score_tokens(params: Dict, ring: RingKVCache, tokens: jax.Array,
     return logits, RingKVCache(kv8, sc, head)
 
 
+def _paged_write_block(paged, fk8, fks, fv8, fvs, starts, valid_t):
+    """Scatter a (B, T) block of fresh k/v into the page pool: slot b's
+    token t lands at logical position ``starts[b] + t``; tokens with
+    ``t >= valid_t[b]``, out-of-window positions, and unmapped pages
+    DROP.  fk8/fv8: (L, B, T, KV, D); fks/fvs: (L, B, T, KV)."""
+    L, B, T, KV, D = fk8.shape
+    page = paged.page_size
+    tpos = starts[:, None] + jnp.arange(T)[None]          # (B, T)
+    lp = jnp.minimum(tpos // page, paged.max_pages - 1)
+    pg = jnp.take_along_axis(paged.page_table, lp, axis=1)  # (B, T)
+    n_pages = paged.pool.shape[0]
+    valid = ((jnp.arange(T)[None] < valid_t[:, None])
+             & (tpos < paged.max_seq) & (pg >= 0))
+    pg = jnp.where(valid, pg, n_pages)                    # drops
+    rows = (tpos % page)[:, :, None] * KV + jnp.arange(KV)[None, None]
+    pgi = pg[:, :, None]                                  # (B, T, 1)
+    uk8 = fk8.transpose(1, 2, 3, 0, 4)                    # (B,T,KV,L,D)
+    uv8 = fv8.transpose(1, 2, 3, 0, 4)
+    uks = fks.transpose(1, 2, 3, 0)
+    uvs = fvs.transpose(1, 2, 3, 0)
+    pool, sc = paged.pool, paged.sc
+    pool = pool.at[pgi, 0, :, rows, :].set(uk8.astype(pool.dtype),
+                                           mode="drop")
+    pool = pool.at[pgi, 1, :, rows, :].set(uv8.astype(pool.dtype),
+                                           mode="drop")
+    sc = sc.at[pgi, 0, :, rows].set(uks, mode="drop")
+    sc = sc.at[pgi, 1, :, rows].set(uvs, mode="drop")
+    import dataclasses as _dc
+    return _dc.replace(paged, pool=pool, sc=sc)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("paged",))
+def score_tokens_paged(params: Dict, paged, tokens: jax.Array,
+                       positions: jax.Array, cfg: ServeConfig,
+                       valid_t: Optional[jax.Array] = None):
+    """Paged twin of :func:`score_tokens` with PER-SLOT validity.
+
+    tokens (B, T); positions (B,) = each slot's current length (where
+    tokens[:, 0] goes); valid_t (B,) = how many of the T tokens are real
+    for each slot (default T).  Returns (logits (B, T, V), paged with
+    the valid fresh rows written at positions..positions+valid_t-1).
+
+    Because pages are addressed by LOGICAL position (no shared ring
+    head), per-slot variable acceptance needs no rollback at all: the
+    caller simply advances each slot's position by its own accepted
+    count — rejected rows are invisible to the position mask and are
+    overwritten when those positions are written again.  This is what
+    makes BATCHED speculative decoding (speculation under continuous
+    batching) natural on the paged path.
+    """
+    mcfg = cfg.model
+    H, KV, D = mcfg.n_heads, mcfg.n_kv_heads, mcfg.head_dim
+    B, T = tokens.shape
+    G = H // KV
+    linear = _make_linear(cfg)
+    inv_freq = rope_freqs(mcfg)
+    if valid_t is None:
+        valid_t = jnp.full((B,), T, jnp.int32)
+    page = paged.page_size
+
+    kv_pages, sc_pages = paged.gather()   # (B,MP,2,L,page*KV,D) / (…)
+    MP = kv_pages.shape[1]
+    S = MP * page
+
+    h = _embed_lookup(params, tokens)
+    pos_bt = positions[:, None] + jnp.arange(T)[None]
+    ang = pos_bt[..., None].astype(jnp.float32) * inv_freq
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    def rope1(x):  # (B, T, n, D)
+        x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+        c, s = cos[:, :, None], sin[:, :, None]
+        return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
+                               axis=-1).astype(x.dtype)
+
+    posidx = (jnp.arange(MP)[:, None] * page
+              + jnp.arange(page)[None, :]).reshape(-1)     # (S,)
+    page_mask = posidx[None] < positions[:, None]          # (B, S)
+    causal = ((jnp.arange(T)[None, None, :] <= jnp.arange(T)[None, :, None])
+              & (jnp.arange(T)[None, None, :] < valid_t[:, None, None]))
+    # (B, Tq, Tk)
+
+    def layer_step(carry, xs):
+        h, li = carry
+        attn_norm, q8, qs, k8w, ksw, v8w, vsw, o8, osw = _attn_xs(xs)
+
+        x = _rms(h, attn_norm, mcfg.norm_eps)
+        q = linear(x, q8, qs).reshape(B, T, H, D)
+        k = linear(x, k8w, ksw).reshape(B, T, KV, D)
+        v = linear(x, v8w, vsw).reshape(B, T, KV, D)
+        q, k = rope1(q), rope1(k)
+
+        kq8, kqs = quantize_kv(k, cfg.kv_fmt)
+        vq8, vqs = quantize_kv(v, cfg.kv_fmt)
+        kqs, vqs = kqs[..., 0], vqs[..., 0]
+
+        qg = (q.astype(jnp.float32)
+              / jnp.sqrt(D).astype(jnp.float32)).astype(q.dtype)
+        qh = qg.reshape(B, T, KV, G, D)
+
+        kp = kv_pages[:, :, 0, li].reshape(B, MP, page, KV, D)
+        vp = kv_pages[:, :, 1, li].reshape(B, MP, page, KV, D)
+        kss = sc_pages[:, :, 0, li].reshape(B, MP, page, KV)
+        vss = sc_pages[:, :, 1, li].reshape(B, MP, page, KV)
+
+        scores = jnp.einsum(
+            "btkgd,bmpkd->btkgmp", qh, kp.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * kss.transpose(0, 3, 1, 2)[:, None, :, None]
+        scores = scores.reshape(B, T, KV, G, S)
+        scores = jnp.where(page_mask[:, None, None, None, :], scores,
+                           _NEG)
+
+        kf = kq8.transpose(0, 2, 1, 3)                    # (B,KV,Tk,D)
+        sscores = jnp.einsum(
+            "btkgd,bkud->btkgu", qh, kf.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ) * kqs.transpose(0, 2, 1)[:, None, :, None]      # (B,Tq,KV,G,Tk)
+        sscores = jnp.where(causal[:, :, None, None, :], sscores, _NEG)
+
+        m = jnp.maximum(jnp.max(scores, axis=-1),
+                        jnp.max(sscores, axis=-1))
+        pc = jnp.exp(scores - m[..., None])
+        ps = jnp.exp(sscores - m[..., None])
+        l = pc.sum(-1) + ps.sum(-1)
+
+        pcs = (pc.reshape(B, T, KV, G, MP, page)
+               * vss.transpose(0, 3, 1, 2)[:, None, :, None]).astype(
+                   q.dtype)
+        ctx = jnp.einsum(
+            "btkgmp,bmpkd->btkgd", pcs, vp.astype(q.dtype),
+            preferred_element_type=jnp.float32)
+        vf = vq8.transpose(0, 2, 1, 3)
+        ctx = ctx + jnp.einsum(
+            "btkgu,bkud->btkgd",
+            ps * vqs.transpose(0, 2, 1)[:, None, :, None],
+            vf.astype(jnp.float32))
+        ctx = (ctx / l[..., None]).reshape(B, T, H * D)
+        ctx = ctx.astype(jnp.bfloat16)
+
+        h = h + linear(ctx, o8, osw)
+        h = _ffn_block(h, xs, mcfg, linear)
+        return (h, li + 1), (kq8, kqs, vq8, vqs)
+
+    h = h.astype(jnp.bfloat16)
+    (h, _), (fk8, fks, fv8, fvs) = jax.lax.scan(
+        layer_step, (h, jnp.int32(0)), _layer_xs(params))
+    paged = _paged_write_block(paged, fk8, fks, fv8, fvs, positions,
+                               valid_t)
+
+    h = _rms(h, params["final_norm"], mcfg.norm_eps)
+    logits = _lm_head(params, h.reshape(B * T, -1)).reshape(B, T, -1)
+    return logits, paged
+
+
 def rollback(ring: RingKVCache, n) -> RingKVCache:
     """Discard the last ``n`` written rows by retreating the head.
 

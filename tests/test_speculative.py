@@ -260,6 +260,154 @@ def test_draft_chunk_tokens_match_logits(target):
                                   np.argmax(np.asarray(logits[0]), -1))
 
 
+def _paged_setup(target, prompts):
+    """Map pages for len(prompts) slots and prefill each."""
+    from fp8tpu.serve import PagedKVCache
+    from fp8tpu.serve.model import prefill_paged
+
+    cfg, params, scfg = target
+    B = len(prompts)
+    page, max_pages = 8, 8
+    paged = PagedKVCache.create(B * max_pages, page, cfg.n_layers, B,
+                                max_pages, cfg.n_kv_heads, cfg.head_dim,
+                                scfg.kv_fmt)
+    table = np.full((B, max_pages), -1, np.int32)
+    for b in range(B):
+        table[b] = np.arange(b * max_pages, (b + 1) * max_pages)
+    import dataclasses
+    paged = dataclasses.replace(paged, page_table=jnp.asarray(table))
+    for b, prompt in enumerate(prompts):
+        _, paged = prefill_paged(params, paged,
+                                 jnp.asarray(prompt, jnp.int32),
+                                 jnp.int32(b),
+                                 jnp.asarray(len(prompt), jnp.int32),
+                                 ServeConfig(model=cfg,
+                                             kv_fmt=scfg.kv_fmt))
+    return paged
+
+
+def test_score_tokens_paged_matches_steps(target):
+    """Paged scorer over T tokens == T chained paged decode steps, with
+    DIFFERENT positions per slot."""
+    from fp8tpu.serve.model import decode_step_paged
+    from fp8tpu.serve.speculative import score_tokens_paged
+
+    cfg, params, scfg = target
+    prompts = [[3, 14, 15, 9, 2, 6], [7, 7, 1]]
+    toks = np.asarray([[7, 21, 42, 77], [9, 33, 51, 2]], np.int32)
+    T = toks.shape[1]
+    pos0 = np.asarray([len(p) for p in prompts], np.int32)
+
+    paged_a = _paged_setup(target, prompts)
+    step_logits = []
+    cur = jnp.asarray(toks[:, 0])
+    for t in range(T):
+        lg, paged_a = decode_step_paged(
+            params, paged_a, jnp.asarray(toks[:, t]),
+            jnp.asarray(pos0 + t), scfg)
+        step_logits.append(np.asarray(lg))
+
+    paged_b = _paged_setup(target, prompts)
+    logits, paged_b = score_tokens_paged(params, paged_b,
+                                         jnp.asarray(toks),
+                                         jnp.asarray(pos0), scfg)
+    logits = np.asarray(logits)
+    for t in range(T):
+        np.testing.assert_allclose(logits[:, t], step_logits[t],
+                                   rtol=0, atol=1e-2)
+        assert (np.argmax(logits[:, t], -1)
+                == np.argmax(step_logits[t], -1)).all()
+    # pools agree (dequantized)
+    da = (np.asarray(paged_a.pool, np.float32)
+          * np.asarray(paged_a.sc)[..., None])
+    db = (np.asarray(paged_b.pool, np.float32)
+          * np.asarray(paged_b.sc)[..., None])
+    np.testing.assert_allclose(da, db, rtol=0.1, atol=5e-3)
+
+
+def test_score_tokens_paged_variable_validity(target):
+    """valid_t masks per-slot: a slot fed garbage beyond its valid count
+    must produce the same valid-position logits and pool bytes as one
+    fed only its valid tokens."""
+    from fp8tpu.serve.speculative import score_tokens_paged
+
+    cfg, params, scfg = target
+    prompts = [[5, 9, 1], [5, 9, 1]]
+    pos0 = jnp.asarray([3, 3], jnp.int32)
+
+    paged1 = _paged_setup(target, prompts)
+    lg1, paged1 = score_tokens_paged(
+        params, paged1, jnp.asarray([[11, 22, 33], [44, 99, 99]]),
+        pos0, scfg, valid_t=jnp.asarray([3, 1], jnp.int32))
+
+    paged2 = _paged_setup(target, prompts)
+    lg2, paged2 = score_tokens_paged(
+        params, paged2, jnp.asarray([[11, 22, 33], [44, 44, 44]]),
+        pos0, scfg, valid_t=jnp.asarray([3, 1], jnp.int32))
+
+    # slot 1: only t=0 is valid; its logits must not depend on the
+    # garbage tail, and positions 4.. of its pages must stay unwritten
+    np.testing.assert_allclose(np.asarray(lg1[1, 0]),
+                               np.asarray(lg2[1, 0]), rtol=0, atol=1e-5)
+    p1 = np.asarray(paged1.pool, np.float32)
+    p2 = np.asarray(paged2.pool, np.float32)
+    np.testing.assert_array_equal(p1[8:16], p2[8:16])  # slot 1's pages
+    # slot 0 (fully valid) matches across both runs
+    np.testing.assert_allclose(np.asarray(lg1[0]), np.asarray(lg2[0]),
+                               rtol=0, atol=1e-5)
+
+
+def test_paged_variable_acceptance_no_rollback(target):
+    """The batched-speculation primitive: two slots accept DIFFERENT
+    counts from the same verify block; continuing each from its own
+    accepted position matches an independent per-slot run."""
+    from fp8tpu.serve.model import decode_step_paged
+    from fp8tpu.serve.speculative import score_tokens_paged
+
+    cfg, params, scfg = target
+    prompts = [[2, 4, 8], [3, 5, 7]]
+    pos0 = np.asarray([3, 3], np.int32)
+    block = np.asarray([[10, 11, 12], [20, 21, 22]], np.int32)
+
+    paged = _paged_setup(target, prompts)
+    _, paged = score_tokens_paged(params, paged, jnp.asarray(block),
+                                  jnp.asarray(pos0), scfg)
+    # slot 0 accepts 3 (pos→6), slot 1 accepts 1 (pos→4): rejected rows
+    # need NO rollback — continue decoding from per-slot positions,
+    # feeding each slot its next token ([40, 41]); slot 1's next write
+    # at position 4 overwrites its rejected row.
+    new_pos = np.asarray([6, 4], np.int32)
+    lg, paged = decode_step_paged(params, paged,
+                                  jnp.asarray([40, 41], jnp.int32),
+                                  jnp.asarray(new_pos), scfg)
+
+    # ground truth per slot: independent caches that only ever saw the
+    # accepted tokens
+    paged0 = _paged_setup(target, [prompts[0]])
+    _, paged0 = score_tokens_paged(params, paged0,
+                                   jnp.asarray(block[:1]),
+                                   jnp.asarray(pos0[:1]), scfg)
+    lg0, _ = decode_step_paged(params, paged0,
+                               jnp.asarray([40], jnp.int32),
+                               jnp.asarray([6], jnp.int32), scfg)
+
+    paged1 = _paged_setup(target, [prompts[1]])
+    _, paged1 = score_tokens_paged(params, paged1,
+                                   jnp.asarray(block[1:, :1]),
+                                   jnp.asarray(pos0[1:]), scfg,
+                                   valid_t=jnp.asarray([1], jnp.int32))
+    lg1, _ = decode_step_paged(params, paged1,
+                               jnp.asarray([41], jnp.int32),
+                               jnp.asarray([4], jnp.int32), scfg)
+
+    assert int(np.argmax(lg[0])) == int(np.argmax(lg0[0]))
+    assert int(np.argmax(lg[1])) == int(np.argmax(lg1[0]))
+    np.testing.assert_allclose(np.asarray(lg[0]), np.asarray(lg0[0]),
+                               rtol=0, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(lg[1]), np.asarray(lg1[0]),
+                               rtol=0, atol=1e-2)
+
+
 def test_spec_stats():
     s = SpecStats(rounds=4, drafted=16, accepted=10, emitted=14)
     assert s.acceptance_rate == pytest.approx(10 / 16)
