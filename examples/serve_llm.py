@@ -84,6 +84,27 @@ def main():
         dparams = convert_decoder_params(dvars, dcfg, fmt=args.weight_fmt)
         dscfg = ServeConfig(model=dcfg, weight_fmt=args.weight_fmt,
                             kv_fmt=args.kv_fmt)
+        if args.paged:
+            # batched speculation under continuous batching
+            engine = ServingEngine(
+                params, scfg, n_slots=args.slots, max_seq=args.max_seq,
+                use_paged=True, prefix_cache=args.prefix_cache,
+                draft_params=dparams, draft_cfg=dscfg,
+                k_spec=args.speculative)
+            reqs = [Request(uid=i, prompt=list(range(1 + i, 12 + i)),
+                            max_new_tokens=args.max_new_tokens,
+                            temperature=args.temperature)
+                    for i in range(args.requests)]
+            t0 = time.time()
+            out = engine.run(reqs)
+            dt = time.time() - t0
+            total = sum(len(v) for v in out.values())
+            acc = engine.spec_accepted / max(engine.spec_drafted, 1)
+            print(f"batched speculative K={args.speculative}: "
+                  f"{len(out)} requests, {total} tokens in {dt:.1f}s "
+                  f"({total/dt:.0f} tok/s), acceptance {acc:.2f}, "
+                  f"{engine.spec_rounds} rounds")
+            return
         prompt = list(range(1, 12))
         t0 = time.time()
         toks, stats = speculative_decode(

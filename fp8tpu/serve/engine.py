@@ -90,7 +90,10 @@ class ServingEngine:
                  max_seq: Optional[int] = None, seed: int = 0,
                  chunk_size: int = 32, use_paged: bool = False,
                  page_size: int = 64, n_pages: Optional[int] = None,
-                 depth: int = 2, prefix_cache: bool = False):
+                 depth: int = 2, prefix_cache: bool = False,
+                 draft_params: Optional[Dict] = None,
+                 draft_cfg: Optional[ServeConfig] = None,
+                 k_spec: int = 4):
         m = cfg.model
         self.params = params
         self.cfg = cfg
@@ -142,6 +145,31 @@ class ServingEngine:
             self.cache = RingKVCache.create(m.n_layers, n_slots,
                                             self.max_seq, m.n_kv_heads,
                                             m.head_dim, cfg.kv_fmt)
+        # Batched speculation (paged only): a small draft model proposes
+        # k_spec tokens per round for EVERY slot; one score_tokens_paged
+        # pass verifies all blocks; per-slot acceptance advances each
+        # slot's logical position independently (no rollback — pages
+        # address by position).  One round = 1 dispatch emitting 1..K+1
+        # tokens per slot.
+        self.spec = use_paged and draft_params is not None
+        if self.spec:
+            dm = draft_cfg.model
+            max_pages = -(-self.max_seq // page_size)
+            self.draft_params = draft_params
+            self.draft_cfg = draft_cfg
+            self.k_spec = max(1, k_spec)
+            # the draft pool statically owns one table row per slot
+            self.dcache = PagedKVCache.create(
+                n_slots * max_pages, page_size, dm.n_layers, n_slots,
+                max_pages, dm.n_kv_heads, dm.head_dim, draft_cfg.kv_fmt)
+            dtable = np.arange(n_slots * max_pages,
+                               dtype=np.int32).reshape(n_slots, max_pages)
+            self.dcache = dataclasses.replace(
+                self.dcache, page_table=jnp.asarray(dtable))
+            self._pend = jnp.zeros((n_slots, 2), jnp.int32)
+            self._pend_n = jnp.ones((n_slots,), jnp.int32)
+            self._dpos = jnp.zeros((n_slots,), jnp.int32)
+            self.spec_rounds = self.spec_drafted = self.spec_accepted = 0
         self.slots: List[Optional[_SlotState]] = [None] * n_slots
         self.queue: List[Request] = []
         self.finished: Dict[int, List[int]] = {}
@@ -158,6 +186,11 @@ class ServingEngine:
 
     # -- public API ------------------------------------------------------
     def submit(self, req: Request):
+        if self.spec and (req.top_k > 0 or req.top_p < 1.0):
+            raise ValueError(
+                "top-k/top-p filtering changes the sampling law the "
+                "rejection rule needs; speculation supports greedy and "
+                "plain temperature sampling")
         if self.use_paged:
             prompt = self._trim_prompt(req)
             need_tokens = min(len(prompt) + req.max_new_tokens + 1,
@@ -320,6 +353,8 @@ class ServingEngine:
         return temps, top_k, top_p
 
     def _dispatch(self) -> bool:
+        if self.spec:
+            return self._dispatch_spec()
         chunk = self._pick_chunk()
         if chunk == 0:
             return False
@@ -340,10 +375,36 @@ class ServingEngine:
         self._inflight.append((toks, chunk, gens))
         return True
 
+    def _dispatch_spec(self) -> bool:
+        if not self._dispatchable():
+            return False
+        from .speculative import spec_round
+
+        temps, _, _ = self._sampling_arrays()
+        self.key, sub = jax.random.split(self.key)
+        self._sync_table()
+        (drafted, a, bonus, self._pend, self._pend_n, self._pos_dev,
+         self._dpos, self.cache, self.dcache) = spec_round(
+            self.params, self.cache, self.draft_params, self.dcache,
+            self._pend, self._pend_n, self._pos_dev, self._dpos, sub,
+            temps, self.k_spec, self.cfg, self.draft_cfg)
+        gens = []
+        for i in range(self.n_slots):
+            if self.slots[i] is not None:
+                # conservative: a round emits at most K+1 tokens
+                self._pending[i] += self.k_spec + 1
+                gens.append(self._gen[i])
+            else:
+                gens.append(-1)
+        self._inflight.append(("spec", drafted, a, bonus, gens))
+        return True
+
     def _process(self, entry):
         """Reconcile one chunk's results: consume tokens per slot up to
         budget/EOS, retire finished slots.  Tokens from a generation that
         no longer matches (slot refilled since dispatch) are dropped."""
+        if isinstance(entry[0], str) and entry[0] == "spec":
+            return self._process_spec(entry)
         toks_dev, chunk, gens = entry
         toks = np.asarray(toks_dev)                 # (B, chunk) readback
         for i in range(self.n_slots):
@@ -357,6 +418,34 @@ class ServingEngine:
                 st.pos += 1
                 st.remaining -= 1
                 if (st.remaining <= 0 or st.pos >= self.max_seq - 1
+                        or (st.eos_id is not None and tok == st.eos_id)):
+                    self._retire(i)
+                    break
+
+    def _process_spec(self, entry):
+        """Reconcile one speculation round: each live slot emits its
+        accepted draft tokens plus the bonus (1..K+1 tokens)."""
+        _, drafted_dev, a_dev, bonus_dev, gens = entry
+        drafted = np.asarray(drafted_dev)           # (B, K)
+        a = np.asarray(a_dev)
+        bonus = np.asarray(bonus_dev)
+        self.spec_rounds += 1
+        for i in range(self.n_slots):
+            st = self.slots[i]
+            if st is None or gens[i] < 0 or gens[i] != self._gen[i]:
+                continue
+            self._pending[i] -= self.k_spec + 1
+            n_acc = int(a[i])
+            self.spec_drafted += self.k_spec
+            self.spec_accepted += n_acc
+            emitted = [int(drafted[i, t]) for t in range(n_acc)]
+            emitted.append(int(bonus[i]))
+            for tok in emitted:
+                st.tokens.append(tok)
+                st.pos += 1
+                st.remaining -= 1
+                if (st.remaining <= 0
+                        or st.pos >= self.max_seq - self.k_spec - 2
                         or (st.eos_id is not None and tok == st.eos_id)):
                     self._retire(i)
                     break
@@ -426,6 +515,20 @@ class ServingEngine:
             jnp.asarray(slots), jnp.asarray(lengths), sub,
             jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps),
             self._tokens_dev, self._pos_dev, self.cfg)
+        if self.spec:
+            # Prefill the draft cache too and seed the pending buffer
+            # with each admitted slot's first sampled token.
+            self.key, dsub = jax.random.split(self.key)
+            _, self.dcache, _, self._dpos = prefill_batch_paged(
+                self.draft_params, self.dcache, jnp.asarray(prompts),
+                jnp.asarray(slots), jnp.asarray(lengths), dsub,
+                jnp.asarray(temps), None, None,
+                jnp.zeros((self.n_slots,), jnp.int32), self._dpos,
+                self.draft_cfg)
+            sl = jnp.asarray(slots)
+            self._pend = self._pend.at[sl, 0].set(first, mode="drop")
+            self._pend = self._pend.at[sl, 1].set(first, mode="drop")
+            self._pend_n = self._pend_n.at[sl].set(1, mode="drop")
         firsts = np.asarray(first)              # ONE readback per batch
         if self.use_paged and self.prefix_cache:
             for i, req, prompt in batch:

@@ -442,6 +442,80 @@ def draft_chunk(params: Dict, ring: RingKVCache, tokens: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Batched speculation round (continuous batching, paged caches)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("k_spec", "cfg", "dcfg"),
+         donate_argnames=("paged", "dpaged"))
+def spec_round(params: Dict, paged, draft_params: Dict, dpaged,
+               pend: jax.Array, pend_n: jax.Array, tpos: jax.Array,
+               dpos: jax.Array, key: jax.Array, temperature: jax.Array,
+               k_spec: int, cfg: ServeConfig, dcfg: ServeConfig):
+    """One batched speculation round for ALL slots in one dispatch.
+
+    Per slot: catch the draft cache up on tokens it has not consumed
+    (``pend`` (B, 2) with ``pend_n`` (B,) in {1, 2}; the LAST pending
+    token is the one drafting starts from), draft ``k_spec`` tokens,
+    verify all slots' blocks in one :func:`score_tokens_paged` pass,
+    and accept per slot (greedy at temperature 0, lossless rejection
+    sampling otherwise).  Pages address by logical position, so each
+    slot advances by its OWN accepted count — no rollback, no shared
+    head (this is why batched speculation lives on the paged path).
+
+    Returns (drafted (B, K), a (B,), bonus (B,), pend', pend_n',
+    tpos', dpos', paged', dpaged').  Inactive slots are masked by the
+    caller (their writes drop via cleared page-table rows).
+    """
+    from .model import _steps_impl_paged, sample_tokens
+
+    B = pend.shape[0]
+    K = k_spec
+    kd, kv = jax.random.split(key)
+
+    # 1) draft catch-up: consume all pending tokens but the last.
+    _, dpaged = score_tokens_paged(draft_params, dpaged, pend, dpos,
+                                   dcfg, valid_t=pend_n - 1)
+    dpos = dpos + pend_n - 1
+    last = jnp.take_along_axis(pend, (pend_n - 1)[:, None],
+                               axis=1)[:, 0]               # (B,)
+
+    # 2) draft K tokens (logits + the tokens those logits sampled).
+    dlogits, dpaged, _, _ = _steps_impl_paged(
+        draft_params, dpaged, last, dpos, kd, temperature, K, dcfg,
+        want_logits=True)                                  # (K, B, V)
+    keys = jax.random.split(kd, K)
+    drafted = jax.vmap(
+        lambda lg, k: sample_tokens(lg, k, temperature))(dlogits, keys)
+    drafted = drafted.T                                    # (B, K)
+    dlogits = dlogits.transpose(1, 0, 2)                   # (B, K, V)
+    dpos = dpos + K          # rows for last, d_1..d_{K-1}
+
+    # 3) verify [last, d_1..d_K] against the target in one pass.
+    vtoks = jnp.concatenate([last[:, None], drafted], axis=1)
+    logits, paged = score_tokens_paged(params, paged, vtoks, tpos, cfg)
+
+    # 4) accept per slot.
+    ag, bg = greedy_verify(logits, drafted)
+    as_, bs = sample_verify(logits, dlogits, drafted, kv,
+                            jnp.maximum(temperature, 1e-6))
+    greedy = temperature <= 0
+    a = jnp.where(greedy, ag, as_)
+    bonus = jnp.where(greedy, bg, bs)
+
+    # 5) advance. Draft logically keeps min(a+1, K) of its K new rows;
+    # when a == K it never saw d_K, which becomes pending next round.
+    tpos = tpos + a + 1
+    dkeep = jnp.minimum(a + 1, K)
+    dpos = dpos - K + dkeep
+    d_k = drafted[:, K - 1]
+    pend = jnp.where((a == K)[:, None],
+                     jnp.stack([d_k, bonus], axis=1),
+                     jnp.stack([bonus, bonus], axis=1))
+    pend_n = jnp.where(a == K, 2, 1).astype(jnp.int32)
+    return drafted, a, bonus, pend, pend_n, tpos, dpos, paged, dpaged
+
+
+# ---------------------------------------------------------------------------
 # Host-side speculative decode driver (single sequence)
 # ---------------------------------------------------------------------------
 

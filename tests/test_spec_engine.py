@@ -1,0 +1,106 @@
+"""Batched speculation under continuous batching (paged engine).
+
+The correctness bar mirrors test_speculative: greedy outputs must be
+IDENTICAL to the plain paged engine's — speculation may only change
+how many dispatches the tokens took.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fp8tpu.models import Decoder, tiny_config
+from fp8tpu.serve import Request, ServeConfig, ServingEngine, \
+    convert_decoder_params
+from fp8tpu.serve.model import random_serve_params
+
+
+def _mk(n_layers=2, d_model=64, n_heads=4, n_kv_heads=2, d_ff=128,
+        vocab=128, seq=96, seed=0):
+    cfg = tiny_config(n_layers=n_layers, d_model=d_model, n_heads=n_heads,
+                      n_kv_heads=n_kv_heads, d_ff=d_ff, vocab_size=vocab,
+                      max_seq_len=seq)
+    params = random_serve_params(cfg, "e4m3", seed=seed)
+    return cfg, params, ServeConfig(model=cfg)
+
+
+@pytest.fixture(scope="module")
+def target():
+    return _mk(seed=0)
+
+
+@pytest.fixture(scope="module")
+def draft():
+    return _mk(n_layers=1, d_model=32, n_heads=2, n_kv_heads=2, d_ff=64,
+               seed=1)
+
+
+def _reqs(n=3, new=10, temp=0.0):
+    return [Request(uid=i, prompt=[2 + i, 7, 11, 5 + i],
+                    max_new_tokens=new, temperature=temp)
+            for i in range(n)]
+
+
+def _plain_engine(target):
+    cfg, params, scfg = target
+    return ServingEngine(params, scfg, n_slots=2, max_seq=96,
+                         chunk_size=8, use_paged=True, page_size=8)
+
+
+def _spec_engine(target, draft, k=4):
+    cfg, params, scfg = target
+    _, dparams, dscfg = draft
+    return ServingEngine(params, scfg, n_slots=2, max_seq=96,
+                         chunk_size=8, use_paged=True, page_size=8,
+                         draft_params=dparams, draft_cfg=dscfg, k_spec=k)
+
+
+def test_greedy_spec_engine_matches_plain_engine(target, draft):
+    ref = _plain_engine(target).run(_reqs())
+    out = _spec_engine(target, draft).run(_reqs())
+    assert out == ref
+
+
+def test_self_draft_engine_full_acceptance(target):
+    """Draft == target: every block verifies, so rounds emit K+1 and
+    acceptance is 100% while outputs still match the plain engine."""
+    ref = _plain_engine(target).run(_reqs())
+    cfg, params, scfg = target
+    eng = ServingEngine(params, scfg, n_slots=2, max_seq=96,
+                        chunk_size=8, use_paged=True, page_size=8,
+                        draft_params=params, draft_cfg=scfg, k_spec=4)
+    out = eng.run(_reqs())
+    assert out == ref
+    assert eng.spec_accepted == eng.spec_drafted > 0
+
+
+def test_budget_respected_with_offsize_rounds(target, draft):
+    """max_new_tokens not a multiple of K+1: the engine truncates at
+    the budget exactly."""
+    out = _spec_engine(target, draft, k=4).run(_reqs(n=2, new=3))
+    assert all(len(v) == 3 for v in out.values())
+    ref = _plain_engine(target).run(_reqs(n=2, new=3))
+    assert out == ref
+
+
+def test_more_requests_than_slots_cycle_through(target, draft):
+    out = _spec_engine(target, draft).run(_reqs(n=5, new=6))
+    ref = _plain_engine(target).run(_reqs(n=5, new=6))
+    assert out == ref
+    assert set(out) == set(range(5))
+
+
+def test_temperature_sampling_runs(target, draft):
+    cfg, _, _ = target
+    out = _spec_engine(target, draft).run(_reqs(n=2, new=8, temp=0.9))
+    assert all(len(v) == 8 for v in out.values())
+    assert all(0 <= t < cfg.vocab_size for v in out.values() for t in v)
+
+
+def test_topk_rejected_in_spec_mode(target, draft):
+    eng = _spec_engine(target, draft)
+    with pytest.raises(ValueError, match="top-k/top-p"):
+        eng.submit(Request(uid=0, prompt=[1, 2], max_new_tokens=4,
+                           temperature=0.8, top_k=5))
