@@ -38,6 +38,10 @@ def main():
     p.add_argument("--prefix-cache", action="store_true",
                    help="(paged) share content-addressed prompt pages "
                         "across requests with a common prefix")
+    p.add_argument("--prefix-compute-reuse", action="store_true",
+                   help="(paged, implies --prefix-cache) admission "
+                        "scores only the uncached prompt suffix "
+                        "against the shared pages")
     p.add_argument("--slots", type=int, default=4)
     p.add_argument("--max-seq", type=int, default=512)
     p.add_argument("--requests", type=int, default=8)
@@ -88,7 +92,9 @@ def main():
             # batched speculation under continuous batching
             engine = ServingEngine(
                 params, scfg, n_slots=args.slots, max_seq=args.max_seq,
-                use_paged=True, prefix_cache=args.prefix_cache,
+                use_paged=True,
+                prefix_cache=args.prefix_cache or args.prefix_compute_reuse,
+                prefix_compute_reuse=args.prefix_compute_reuse,
                 draft_params=dparams, draft_cfg=dscfg,
                 k_spec=args.speculative)
             reqs = [Request(uid=i, prompt=list(range(1 + i, 12 + i)),
@@ -121,7 +127,8 @@ def main():
 
     engine = ServingEngine(params, scfg, n_slots=args.slots,
                            max_seq=args.max_seq, use_paged=args.paged,
-                           prefix_cache=args.prefix_cache)
+                           prefix_cache=args.prefix_cache or args.prefix_compute_reuse,
+                           prefix_compute_reuse=args.prefix_compute_reuse)
     reqs = [Request(uid=i, prompt=list(range(1 + i, 12 + i)),
                     max_new_tokens=args.max_new_tokens,
                     temperature=args.temperature)

@@ -91,6 +91,7 @@ class ServingEngine:
                  chunk_size: int = 32, use_paged: bool = False,
                  page_size: int = 64, n_pages: Optional[int] = None,
                  depth: int = 2, prefix_cache: bool = False,
+                 prefix_compute_reuse: bool = False,
                  draft_params: Optional[Dict] = None,
                  draft_cfg: Optional[ServeConfig] = None,
                  k_spec: int = 4):
@@ -140,8 +141,15 @@ class ServingEngine:
             from collections import OrderedDict
             self._prefix_index: "OrderedDict[tuple, int]" = OrderedDict()
             self._page_prefix: Dict[int, tuple] = {}
+            # Compute-level reuse: admissions score only the uncached
+            # suffix against the shared pages (prefill_scored_paged) —
+            # cold requests run the same path with cache_len 0, so warm
+            # and cold admissions share one numerics contract.
+            self.prefix_reuse = prefix_cache and prefix_compute_reuse
+            self.prefix_tokens_reused = 0
         else:
             self.prefix_cache = False
+            self.prefix_reuse = False
             self.cache = RingKVCache.create(m.n_layers, n_slots,
                                             self.max_seq, m.n_kv_heads,
                                             m.head_dim, cfg.kv_fmt)
@@ -488,11 +496,15 @@ class ServingEngine:
                 self._table[i] = -1
                 self._table[i, :need] = pages
                 self._table_dirty = True
+                if self.prefix_reuse:
+                    # cap so at least one suffix token remains to score
+                    cl = min(len(shared) * psz, len(prompt) - 1)
             self.queue.pop(0)
-            batch.append((i, req, prompt))
+            batch.append((i, req, prompt, cl if self.prefix_reuse else 0))
         if not batch:
             return
-        sp = min(_bucket(max(len(p) for _, _, p in batch)), self.max_seq)
+        sp = min(_bucket(max(len(p) for _, _, p, _ in batch)),
+                 self.max_seq)
         n = _pow2ceil(len(batch))
         prompts = np.zeros((n, sp), np.int32)
         slots = np.full((n,), self.n_slots, np.int32)   # pad rows drop
@@ -500,7 +512,7 @@ class ServingEngine:
         temps = np.zeros((n,), np.float32)
         tks = np.zeros((n,), np.int32)
         tps = np.ones((n,), np.float32)
-        for j, (i, req, prompt) in enumerate(batch):
+        for j, (i, req, prompt, _) in enumerate(batch):
             prompts[j, :len(prompt)] = prompt
             slots[j] = i
             lengths[j] = len(prompt)
@@ -509,12 +521,37 @@ class ServingEngine:
             tps[j] = req.top_p
         self.key, sub = jax.random.split(self.key)
         self._sync_table()
-        do_prefill = prefill_batch_paged if self.use_paged else prefill_batch
-        first, self.cache, self._tokens_dev, self._pos_dev = do_prefill(
-            self.params, self.cache, jnp.asarray(prompts),
-            jnp.asarray(slots), jnp.asarray(lengths), sub,
-            jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps),
-            self._tokens_dev, self._pos_dev, self.cfg)
+        if self.prefix_reuse:
+            # score only the uncached suffixes (cold requests: cl == 0)
+            from .speculative import prefill_scored_paged
+            ssp = min(_bucket(max(len(p) - cl
+                                  for _, _, p, cl in batch)), sp)
+            suffix = np.zeros((n, ssp), np.int32)
+            clens = np.zeros((n,), np.int32)
+            slens = np.zeros((n,), np.int32)
+            for j, (i, req, prompt, cl) in enumerate(batch):
+                suffix[j, :len(prompt) - cl] = prompt[cl:]
+                clens[j] = cl
+                slens[j] = len(prompt) - cl
+                self.prefix_tokens_reused += cl
+            filt = any(t > 0 for t in tks[:len(batch)]) \
+                or any(p < 1.0 for p in tps[:len(batch)])
+            first, self.cache, self._tokens_dev, self._pos_dev = \
+                prefill_scored_paged(
+                    self.params, self.cache, jnp.asarray(suffix),
+                    jnp.asarray(slots), jnp.asarray(clens),
+                    jnp.asarray(slens), sub, jnp.asarray(temps),
+                    self._tokens_dev, self._pos_dev, self.cfg,
+                    top_k=jnp.asarray(tks, jnp.int32) if filt else None,
+                    top_p=jnp.asarray(tps, jnp.float32) if filt else None)
+        else:
+            do_prefill = (prefill_batch_paged if self.use_paged
+                          else prefill_batch)
+            first, self.cache, self._tokens_dev, self._pos_dev = do_prefill(
+                self.params, self.cache, jnp.asarray(prompts),
+                jnp.asarray(slots), jnp.asarray(lengths), sub,
+                jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps),
+                self._tokens_dev, self._pos_dev, self.cfg)
         if self.spec:
             # Prefill the draft cache too and seed the pending buffer
             # with each admitted slot's first sampled token.
@@ -531,9 +568,9 @@ class ServingEngine:
             self._pend_n = self._pend_n.at[sl].set(1, mode="drop")
         firsts = np.asarray(first)              # ONE readback per batch
         if self.use_paged and self.prefix_cache:
-            for i, req, prompt in batch:
+            for i, req, prompt, _ in batch:
                 self._register_prefix_pages(i, prompt)
-        for j, (i, req, prompt) in enumerate(batch):
+        for j, (i, req, prompt, _) in enumerate(batch):
             tok = int(firsts[j])
             self._gen[i] += 1
             self._pending[i] = 0

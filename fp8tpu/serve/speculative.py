@@ -59,6 +59,7 @@ from .model import (
     _make_linear,
     _rms,
     prefill,
+    sample_tokens,
 )
 
 
@@ -195,19 +196,26 @@ def score_tokens(params: Dict, ring: RingKVCache, tokens: jax.Array,
     return logits, RingKVCache(kv8, sc, head)
 
 
-def _paged_write_block(paged, fk8, fks, fv8, fvs, starts, valid_t):
-    """Scatter a (B, T) block of fresh k/v into the page pool: slot b's
+def _paged_write_block(paged, fk8, fks, fv8, fvs, starts, valid_t,
+                       table=None, row_valid=None):
+    """Scatter a (B, T) block of fresh k/v into the page pool: row b's
     token t lands at logical position ``starts[b] + t``; tokens with
     ``t >= valid_t[b]``, out-of-window positions, and unmapped pages
-    DROP.  fk8/fv8: (L, B, T, KV, D); fks/fvs: (L, B, T, KV)."""
+    DROP.  fk8/fv8: (L, B, T, KV, D); fks/fvs: (L, B, T, KV).
+    ``table`` (B, MP) overrides the pool's own page table (row-selected
+    views); rows with ``row_valid[b] == False`` drop entirely."""
     L, B, T, KV, D = fk8.shape
     page = paged.page_size
+    if table is None:
+        table = paged.page_table
     tpos = starts[:, None] + jnp.arange(T)[None]          # (B, T)
     lp = jnp.minimum(tpos // page, paged.max_pages - 1)
-    pg = jnp.take_along_axis(paged.page_table, lp, axis=1)  # (B, T)
+    pg = jnp.take_along_axis(table, lp, axis=1)           # (B, T)
     n_pages = paged.pool.shape[0]
     valid = ((jnp.arange(T)[None] < valid_t[:, None])
              & (tpos < paged.max_seq) & (pg >= 0))
+    if row_valid is not None:
+        valid = valid & row_valid[:, None]
     pg = jnp.where(valid, pg, n_pages)                    # drops
     rows = (tpos % page)[:, :, None] * KV + jnp.arange(KV)[None, None]
     pgi = pg[:, :, None]                                  # (B, T, 1)
@@ -229,7 +237,8 @@ def _paged_write_block(paged, fk8, fks, fv8, fvs, starts, valid_t):
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("paged",))
 def score_tokens_paged(params: Dict, paged, tokens: jax.Array,
                        positions: jax.Array, cfg: ServeConfig,
-                       valid_t: Optional[jax.Array] = None):
+                       valid_t: Optional[jax.Array] = None,
+                       slots: Optional[jax.Array] = None):
     """Paged twin of :func:`score_tokens` with PER-SLOT validity.
 
     tokens (B, T); positions (B,) = each slot's current length (where
@@ -255,7 +264,18 @@ def score_tokens_paged(params: Dict, paged, tokens: jax.Array,
         valid_t = jnp.full((B,), T, jnp.int32)
     page = paged.page_size
 
-    kv_pages, sc_pages = paged.gather()   # (B,MP,2,L,page*KV,D) / (…)
+    # Row selection: ``slots`` (B,) picks page-table rows (admission
+    # batches are slot-indexed); rows >= n_slots are padding and drop.
+    n_slots = paged.page_table.shape[0]
+    if slots is None:
+        table = paged.page_table
+        row_valid = None
+    else:
+        table = paged.page_table[jnp.clip(slots, 0, n_slots - 1)]
+        row_valid = slots < n_slots
+    safe = jnp.maximum(table, 0)
+    kv_pages, sc_pages = paged.pool[safe], paged.sc[safe]
+    # (B,MP,2,L,page*KV,D) / (B,MP,2,L,page*KV)
     MP = kv_pages.shape[1]
     S = MP * page
 
@@ -343,7 +363,7 @@ def score_tokens_paged(params: Dict, paged, tokens: jax.Array,
     (h, _), (fk8, fks, fv8, fvs) = jax.lax.scan(
         layer_step, (h, jnp.int32(0)), _layer_xs(params))
     paged = _paged_write_block(paged, fk8, fks, fv8, fvs, positions,
-                               valid_t)
+                               valid_t, table=table, row_valid=row_valid)
 
     h = _rms(h, params["final_norm"], mcfg.norm_eps)
     logits = _lm_head(params, h.reshape(B * T, -1)).reshape(B, T, -1)
@@ -439,6 +459,43 @@ def draft_chunk(params: Dict, ring: RingKVCache, tokens: jax.Array,
     drafted = jax.vmap(
         lambda lg, k: sample_tokens(lg, k, temperature))(logits, keys)
     return drafted.T, logits.transpose(1, 0, 2), ring
+
+
+@partial(jax.jit, static_argnames=("cfg",),
+         donate_argnames=("paged", "tokens", "positions"))
+def prefill_scored_paged(params: Dict, paged, suffix: jax.Array,
+                         slots: jax.Array, cache_lens: jax.Array,
+                         suffix_lens: jax.Array, key: jax.Array,
+                         temperature: jax.Array, tokens: jax.Array,
+                         positions: jax.Array, cfg: ServeConfig,
+                         top_k=None, top_p=None):
+    """Admission that computes ONLY the uncached suffix.
+
+    Compute-level prefix reuse: request n resumes from ``cache_lens[n]``
+    tokens already present in its mapped pages (shared prefix pages from
+    the engine's content-addressed cache); ``suffix`` (N, T) right-padded
+    holds the remaining prompt tokens, scored against the cached pages
+    with :func:`score_tokens_paged` (in-block causal for the suffix
+    itself).  A cold request is the ``cache_lens == 0`` special case —
+    the same code path is a full prefill, so cold and warm admissions
+    share one numerics contract (prompt attention reads the QUANTIZED
+    cache, exactly like decode, unlike the dense bf16 prefill).
+
+    Samples each request's first token at its last valid suffix position
+    and patches the engine's device token/position carry.  Returns
+    (first (N,), paged, tokens, positions).
+    """
+    logits, paged = score_tokens_paged(params, paged, suffix, cache_lens,
+                                       cfg, valid_t=suffix_lens,
+                                       slots=slots)
+    idx = jnp.clip(suffix_lens - 1, 0, suffix.shape[1] - 1)
+    last = jnp.take_along_axis(
+        logits, idx[:, None, None], axis=1)[:, 0]        # (N, V)
+    first = sample_tokens(last, key, temperature, top_k, top_p)
+    lengths = cache_lens + suffix_lens
+    tokens = tokens.at[slots].set(first, mode="drop")
+    positions = positions.at[slots].set(lengths, mode="drop")
+    return first, paged, tokens, positions
 
 
 # ---------------------------------------------------------------------------

@@ -142,6 +142,52 @@ def test_active_holder_blocks_eviction(setup):
     assert set(out) == {0, 1}
 
 
+def _reuse_engine(params, scfg, n_slots=2, n_pages=None):
+    return ServingEngine(params, scfg, n_slots=n_slots, max_seq=96,
+                         chunk_size=8, use_paged=True, page_size=PSZ,
+                         n_pages=n_pages, prefix_cache=True,
+                         prefix_compute_reuse=True)
+
+
+def test_compute_reuse_warm_equals_cold(setup):
+    """Scored admission is position-consistent: a request admitted
+    against cached prefix pages produces EXACTLY the tokens it would
+    have produced admitted cold (the cached KV bytes equal what its own
+    scoring would have written)."""
+    cfg, params, scfg = setup
+    req = Request(uid=7, prompt=SYS + [40, 41], max_new_tokens=6)
+
+    cold = _reuse_engine(params, scfg)
+    out_cold = cold.run([Request(**vars(req))])
+    assert cold.prefix_tokens_reused == 0
+
+    warm = _reuse_engine(params, scfg)
+    warm.run([Request(uid=0, prompt=SYS + [90], max_new_tokens=4)])
+    out_warm = warm.run([Request(**vars(req))])
+    assert warm.prefix_tokens_reused == 2 * PSZ   # both SYS pages skipped
+    assert out_warm[7] == out_cold[7]
+
+
+def test_compute_reuse_greedy_close_to_dense_prefill(setup):
+    """The scored path attends to the QUANTIZED prompt KV (like decode)
+    where dense prefill uses fresh bf16 — greedy outputs still agree at
+    these shapes."""
+    cfg, params, scfg = setup
+    ref = _engine(params, scfg, prefix_cache=False).run(_reqs(n=2))
+    out = _reuse_engine(params, scfg).run(_reqs(n=2))
+    assert out == ref
+
+
+def test_compute_reuse_counter_accumulates(setup):
+    cfg, params, scfg = setup
+    eng = _reuse_engine(params, scfg, n_slots=1)
+    for k in range(3):
+        eng.run([Request(uid=k, prompt=SYS + [30 + k],
+                         max_new_tokens=4)])
+    # requests 1 and 2 each reuse the 2 SYS pages
+    assert eng.prefix_tokens_reused == 2 * 2 * PSZ
+
+
 def test_ring_engine_rejects_nothing_and_ignores_flag(setup):
     cfg, params, scfg = setup
     eng = ServingEngine(params, scfg, n_slots=2, max_seq=96,
