@@ -1,0 +1,111 @@
+"""Batched-speculation engine + prefix-reuse admission bench (real chip).
+
+Measures, on the 1B-class engine model:
+  1. plain paged engine throughput (the round-3 scheduler baseline),
+  2. spec engine with draft == target (acceptance 1.0): the mechanism
+     CEILING — every round emits K+1 tokens for one verify pass + one
+     (here target-priced) draft chunk.  A real deployment's draft is
+     ~10x smaller, so production sits between (1) and this ceiling
+     scaled by its acceptance rate,
+  3. admission latency for a batch sharing a long system prompt, with
+     and without prefix_compute_reuse (the scored-suffix admission).
+
+Writes PERF_EXTRAS.json["spec_engine"].
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from fp8tpu.models import tiny_config
+from fp8tpu.serve import Request, ServeConfig, ServingEngine
+from fp8tpu.serve.model import random_serve_params
+
+
+def main():
+    cfg = tiny_config(n_layers=12, d_model=2048, n_heads=16, n_kv_heads=4,
+                      d_ff=8192, vocab_size=32000, max_seq_len=1024)
+    dcfg = tiny_config(n_layers=2, d_model=512, n_heads=8, n_kv_heads=4,
+                       d_ff=2048, vocab_size=32000, max_seq_len=1024)
+    scfg = ServeConfig(model=cfg, kv_fmt="int8")
+    dscfg = ServeConfig(model=dcfg, kv_fmt="int8")
+    params = random_serve_params(cfg, "e4m3")
+    dparams = random_serve_params(dcfg, "e4m3")
+    out = {}
+
+    def reqs(n, plen=64, new=128):
+        return [Request(uid=i, prompt=list(range(1, plen)) + [i],
+                        max_new_tokens=new) for i in range(n)]
+
+    def run(engine, rs, label):
+        t0 = time.time()
+        done = engine.run(rs)
+        dt = time.time() - t0
+        total = sum(len(v) for v in done.values())
+        tok_s = total / dt
+        print(f"[spec-engine] {label}: {total} tokens in {dt:.1f}s "
+              f"= {tok_s:.0f} tok/s")
+        return tok_s
+
+    N_SLOTS, N_REQ = 16, 32
+    plain = ServingEngine(params, scfg, n_slots=N_SLOTS, max_seq=1024,
+                          chunk_size=128, use_paged=True, page_size=64,
+                          depth=3)
+    out["plain_paged_tok_s"] = round(run(plain, reqs(N_REQ), "plain"), 1)
+
+    for k in (4, 8):
+        eng = ServingEngine(params, scfg, n_slots=N_SLOTS, max_seq=1024,
+                            use_paged=True, page_size=64, depth=3,
+                            draft_params=params, draft_cfg=scfg, k_spec=k)
+        tok_s = run(eng, reqs(N_REQ), f"self-draft K={k}")
+        acc = eng.spec_accepted / max(eng.spec_drafted, 1)
+        out[f"selfdraft_k{k}_tok_s"] = round(tok_s, 1)
+        out[f"selfdraft_k{k}_acceptance"] = round(acc, 3)
+
+    eng = ServingEngine(params, scfg, n_slots=N_SLOTS, max_seq=1024,
+                        use_paged=True, page_size=64, depth=3,
+                        draft_params=dparams, draft_cfg=dscfg, k_spec=4)
+    tok_s = run(eng, reqs(N_REQ), "small-draft K=4 (random=0 acceptance)")
+    out["smalldraft_k4_tok_s"] = round(tok_s, 1)
+    out["smalldraft_k4_acceptance"] = round(
+        eng.spec_accepted / max(eng.spec_drafted, 1), 3)
+
+    # Prefix-reuse admission: 16 requests sharing a 512-token prefix.
+    sysp = list(range(3, 3 + 512))
+    share = [Request(uid=i, prompt=sysp + [i], max_new_tokens=2)
+             for i in range(16)]
+    for reuse, tag in ((False, "dense"), (True, "reuse")):
+        eng = ServingEngine(params, scfg, n_slots=N_SLOTS, max_seq=1024,
+                            use_paged=True, page_size=64,
+                            prefix_cache=True,
+                            prefix_compute_reuse=reuse)
+        # warm the cache with one request first
+        eng.run([Request(uid=99, prompt=sysp + [99], max_new_tokens=2)])
+        t0 = time.time()
+        eng.run([Request(**vars(r)) for r in share])
+        dt = time.time() - t0
+        out[f"admit16_shared512_{tag}_s"] = round(dt, 2)
+        if reuse:
+            out["prefix_tokens_reused"] = int(eng.prefix_tokens_reused)
+        print(f"[spec-engine] 16 shared-prefix admissions ({tag}): "
+              f"{dt:.2f}s")
+
+    try:
+        with open("PERF_EXTRAS.json") as f:
+            extras = json.load(f)
+    except FileNotFoundError:
+        extras = {}
+    extras["spec_engine"] = out
+    with open("PERF_EXTRAS.json", "w") as f:
+        json.dump(extras, f, indent=1)
+    print(json.dumps({"spec_engine": out}))
+
+
+if __name__ == "__main__":
+    main()
