@@ -461,6 +461,40 @@ def draft_chunk(params: Dict, ring: RingKVCache, tokens: jax.Array,
     return drafted.T, logits.transpose(1, 0, 2), ring
 
 
+def prefill_chunked_paged(params: Dict, paged, prompt, slot: int,
+                          cfg: ServeConfig, chunk: int = 256,
+                          start: int = 0):
+    """Long-prompt prefill in fixed-size chunks over the paged cache.
+
+    The dense prefill materializes Sp x Sp attention in one program;
+    for long contexts this chunks the prompt into ``chunk``-token
+    blocks scored against the pages written so far
+    (:func:`score_tokens_paged`), bounding live attention memory at
+    chunk x Sp.  Numerically identical to the single-shot scored
+    admission up to accumulation order: both attend to the QUANTIZED
+    cache everywhere.  ``start`` resumes from already-cached tokens
+    (compute-level prefix reuse).  Returns (last-token logits (V,),
+    paged)."""
+    import numpy as np
+
+    prompt = list(map(int, prompt))
+    n = len(prompt)
+    assert start < n
+    slot_arr = jnp.asarray([slot], jnp.int32)
+    logits_last = None
+    done = start
+    while done < n:
+        take = min(chunk, n - done)
+        blk = np.asarray([prompt[done:done + take]], np.int32)
+        logits, paged = score_tokens_paged(
+            params, paged, jnp.asarray(blk),
+            jnp.asarray([done], jnp.int32), cfg,
+            valid_t=jnp.asarray([take], jnp.int32), slots=slot_arr)
+        logits_last = logits[0, take - 1]
+        done += take
+    return logits_last, paged
+
+
 @partial(jax.jit, static_argnames=("cfg",),
          donate_argnames=("paged", "tokens", "positions"))
 def prefill_scored_paged(params: Dict, paged, suffix: jax.Array,

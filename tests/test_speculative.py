@@ -408,6 +408,66 @@ def test_paged_variable_acceptance_no_rollback(target):
                                rtol=0, atol=1e-2)
 
 
+def test_prefill_chunked_paged_matches_single_shot(target):
+    """Chunked long-prompt prefill == one-shot scored prefill: both
+    attend to the quantized cache everywhere, so only accumulation
+    order differs."""
+    from fp8tpu.serve.model import decode_step_paged
+    from fp8tpu.serve.speculative import (prefill_chunked_paged,
+                                          score_tokens_paged)
+
+    cfg, params, scfg = target
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9]
+
+    # chunked: 5-token blocks from position 0
+    paged_a = _paged_setup(target, [[0]])
+    lg_a, paged_a = prefill_chunked_paged(params, paged_a, prompt, 0,
+                                          scfg, chunk=5)
+
+    paged_b = _paged_setup(target, [[0]])
+    lg_b_all, paged_b = score_tokens_paged(
+        params, paged_b, jnp.asarray([prompt], jnp.int32),
+        jnp.asarray([0], jnp.int32), scfg)
+    lg_b = lg_b_all[0, len(prompt) - 1]
+
+    assert int(jnp.argmax(lg_a)) == int(jnp.argmax(lg_b))
+    np.testing.assert_allclose(np.asarray(lg_a), np.asarray(lg_b),
+                               rtol=0, atol=1e-2)
+    # the caches agree too: continue one decode step from each
+    nxt = jnp.asarray([int(jnp.argmax(lg_a))], jnp.int32)
+    pos = jnp.asarray([len(prompt)], jnp.int32)
+    sa, _ = decode_step_paged(params, paged_a, nxt, pos, scfg)
+    sb, _ = decode_step_paged(params, paged_b, nxt, pos, scfg)
+    assert int(np.argmax(sa[0])) == int(np.argmax(sb[0]))
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                               rtol=0, atol=1e-2)
+
+
+def test_prefill_chunked_resume_from_cached_prefix(target):
+    """start= resumes from already-cached tokens: scoring only the tail
+    gives the same logits as scoring the whole prompt."""
+    from fp8tpu.serve.speculative import (prefill_chunked_paged,
+                                          score_tokens_paged)
+
+    cfg, params, scfg = target
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+
+    paged_a = _paged_setup(target, [[0]])
+    # cache the first 5 tokens, then resume
+    _, paged_a = score_tokens_paged(
+        params, paged_a, jnp.asarray([prompt[:5]], jnp.int32),
+        jnp.asarray([0], jnp.int32), scfg)
+    lg_a, _ = prefill_chunked_paged(params, paged_a, prompt, 0, scfg,
+                                    chunk=4, start=5)
+
+    paged_b = _paged_setup(target, [[0]])
+    lg_b, _ = prefill_chunked_paged(params, paged_b, prompt, 0, scfg,
+                                    chunk=4)
+    assert int(jnp.argmax(lg_a)) == int(jnp.argmax(lg_b))
+    np.testing.assert_allclose(np.asarray(lg_a), np.asarray(lg_b),
+                               rtol=0, atol=1e-2)
+
+
 def test_spec_stats():
     s = SpecStats(rounds=4, drafted=16, accepted=10, emitted=14)
     assert s.acceptance_rate == pytest.approx(10 / 16)
