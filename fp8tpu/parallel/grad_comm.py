@@ -101,10 +101,14 @@ def wire_all_reduce(x: jax.Array, axis_name: str, fmt: Optional[str] = "e4m3",
     flat = jnp.pad(flat, (0, n * csz - size))
     blocks = flat.reshape(n, nb, block)
 
-    # Phase 1: quantize once per block, all_to_all, f32 sum.
+    # Phase 1: quantize once per block, all_to_all, f32 sum.  bf16 has
+    # no scales to move (they are all-ones) — skip their collectives.
+    scaled = fmt != "bf16"
     q, s = _quant_blocks(blocks, fmt)
     q = lax.all_to_all(q, axis_name, split_axis=0, concat_axis=0, tiled=True)
-    s = lax.all_to_all(s, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    if scaled:
+        s = lax.all_to_all(s, axis_name, split_axis=0, concat_axis=0,
+                           tiled=True)
     reduced = jnp.sum(_dequant_blocks(q, s), axis=0)  # (nb, block) f32
     if mean:
         reduced = reduced / n
@@ -112,7 +116,10 @@ def wire_all_reduce(x: jax.Array, axis_name: str, fmt: Optional[str] = "e4m3",
     # Phase 2: requantize the reduced chunk once, quantized all_gather.
     qr, sr = _quant_blocks(reduced, fmt)
     qg = lax.all_gather(qr, axis_name, tiled=True)   # (n*nb, block)
-    sg = lax.all_gather(sr, axis_name, tiled=True)   # (n*nb,)
+    if scaled:
+        sg = lax.all_gather(sr, axis_name, tiled=True)   # (n*nb,)
+    else:
+        sg = jnp.ones((qg.shape[0],), jnp.float32)
     out = _dequant_blocks(qg, sg).reshape(-1)[:size]
     out_dtype = (orig_dtype if jnp.issubdtype(orig_dtype, jnp.floating)
                  else jnp.float32)

@@ -129,10 +129,11 @@ class ServingEngine:
             # Shared-prefix page cache (vLLM-style, memory-level): pages
             # wholly inside a prompt are content-addressed by their full
             # token history; a later request with the same prefix maps
-            # the SAME physical pages instead of new ones.  Prefill still
-            # recomputes the dense forward (it rewrites identical bytes —
-            # the forward is deterministic, so shared-page writes are
-            # benign); the win is pool capacity: N requests with a common
+            # the SAME physical pages instead of new ones.  Admission
+            # never writes shared pages (write_starts masks positions
+            # they cover — a differently-shaped batch would recompute
+            # 1-ulp-different payload bytes under other live holders);
+            # the win is pool capacity: N requests with a common
             # system prompt hold one copy of its pages.  Reclamation is
             # refcounted; cached pages with no holder stay resident and
             # evict LRU when the pool runs dry.
@@ -245,7 +246,11 @@ class ServingEngine:
 
     # -- scheduler -------------------------------------------------------
     def _trim_prompt(self, req: Request) -> List[int]:
-        prompt = req.prompt[-(self.max_seq - req.max_new_tokens - 1):]
+        # spec mode reserves a verify block: the LAST round's K+1 writes
+        # must still fit in the window
+        reserve = (self.k_spec + 1) if self.spec else 0
+        prompt = req.prompt[-(self.max_seq - req.max_new_tokens - 1
+                              - reserve):]
         return prompt if prompt else [0]   # empty: decode from BOS-like 0
 
     def _rem_est(self, i: int) -> int:
@@ -292,11 +297,19 @@ class ServingEngine:
 
     def _alloc_pages(self, n: int) -> Optional[List[int]]:
         """Allocate ``n`` private pages: the free list first, then LRU
-        eviction of cached refcount-0 prefix pages.  None if short."""
+        eviction of cached refcount-0 prefix pages.  None if short —
+        checked BEFORE evicting, so a failed allocation never destroys
+        warm cache entries as a side effect."""
+        evictable = 0
+        if self.prefix_cache:
+            evictable = sum(1 for p in self._prefix_index.values()
+                            if self._page_ref[p] == 0)
+        if len(self.free_pages) + evictable < n:
+            return None
         pages = []
         while len(pages) < n and self.free_pages:
             pages.append(self.free_pages.pop())
-        if len(pages) < n and self.prefix_cache:
+        if len(pages) < n:
             for key in list(self._prefix_index):
                 if len(pages) >= n:
                     break
@@ -305,9 +318,6 @@ class ServingEngine:
                     del self._prefix_index[key]
                     del self._page_prefix[p]
                     pages.append(p)
-        if len(pages) < n:
-            self.free_pages.extend(pages)
-            return None
         return pages
 
     def _shared_prefix_pages(self, prompt: List[int]) -> List[int]:
@@ -452,8 +462,7 @@ class ServingEngine:
                 st.tokens.append(tok)
                 st.pos += 1
                 st.remaining -= 1
-                if (st.remaining <= 0
-                        or st.pos >= self.max_seq - self.k_spec - 2
+                if (st.remaining <= 0 or st.pos >= self.max_seq - 1
                         or (st.eos_id is not None and tok == st.eos_id)):
                     self._retire(i)
                     break
@@ -478,6 +487,11 @@ class ServingEngine:
                 psz = self.cache.page_size
                 need = -(-need_tokens // psz)
                 shared = self._shared_prefix_pages(prompt)[:need]
+                if self.prefix_reuse:
+                    # the scored suffix must start ON a page boundary
+                    # with >= 1 token left to score, so a fully-covered
+                    # prompt gives its last page back
+                    shared = shared[:(len(prompt) - 1) // psz]
                 # Pin shared pages BEFORE allocating: _alloc_pages evicts
                 # refcount-0 cached pages, which must not include pages
                 # just selected for this very admission.
@@ -496,11 +510,13 @@ class ServingEngine:
                 self._table[i] = -1
                 self._table[i, :need] = pages
                 self._table_dirty = True
-                if self.prefix_reuse:
-                    # cap so at least one suffix token remains to score
-                    cl = min(len(shared) * psz, len(prompt) - 1)
+                # positions covered by SHARED pages: never rewritten
+                # (dense path masks writes below it; scored path starts
+                # there)
+                cover = len(shared) * psz
             self.queue.pop(0)
-            batch.append((i, req, prompt, cl if self.prefix_reuse else 0))
+            batch.append((i, req, prompt,
+                          cover if self.use_paged else 0))
         if not batch:
             return
         sp = min(_bucket(max(len(p) for _, _, p, _ in batch)),
@@ -544,14 +560,28 @@ class ServingEngine:
                     self._tokens_dev, self._pos_dev, self.cfg,
                     top_k=jnp.asarray(tks, jnp.int32) if filt else None,
                     top_p=jnp.asarray(tps, jnp.float32) if filt else None)
+        elif self.use_paged:
+            wstarts = None
+            if self.prefix_cache:
+                ws = np.zeros((n,), np.int32)
+                for j, (_, _, _, cover) in enumerate(batch):
+                    ws[j] = cover
+                wstarts = jnp.asarray(ws)
+            first, self.cache, self._tokens_dev, self._pos_dev = \
+                prefill_batch_paged(
+                    self.params, self.cache, jnp.asarray(prompts),
+                    jnp.asarray(slots), jnp.asarray(lengths), sub,
+                    jnp.asarray(temps), jnp.asarray(tks),
+                    jnp.asarray(tps), self._tokens_dev, self._pos_dev,
+                    self.cfg, write_starts=wstarts)
         else:
-            do_prefill = (prefill_batch_paged if self.use_paged
-                          else prefill_batch)
-            first, self.cache, self._tokens_dev, self._pos_dev = do_prefill(
-                self.params, self.cache, jnp.asarray(prompts),
-                jnp.asarray(slots), jnp.asarray(lengths), sub,
-                jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps),
-                self._tokens_dev, self._pos_dev, self.cfg)
+            first, self.cache, self._tokens_dev, self._pos_dev = \
+                prefill_batch(
+                    self.params, self.cache, jnp.asarray(prompts),
+                    jnp.asarray(slots), jnp.asarray(lengths), sub,
+                    jnp.asarray(temps), jnp.asarray(tks),
+                    jnp.asarray(tps), self._tokens_dev, self._pos_dev,
+                    self.cfg)
         if self.spec:
             # Prefill the draft cache too and seed the pending buffer
             # with each admitted slot's first sampled token.

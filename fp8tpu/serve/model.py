@@ -1172,11 +1172,16 @@ def decode_step_paged(params: Dict, paged: PagedKVCache,
 
 
 def _paged_write_prompts(paged: PagedKVCache, pk8, pks, pv8, pvs,
-                         slots: jax.Array, lengths: jax.Array
+                         slots: jax.Array, lengths: jax.Array,
+                         starts: Optional[jax.Array] = None
                          ) -> PagedKVCache:
     """Scatter N prompts' quantized k/v into the page pool.  Prompt n's
     token i lands in slot n's logical page ``i // page_size`` at offset
-    ``i % page_size``; padding rows/slots and unmapped pages DROP."""
+    ``i % page_size``; padding rows/slots and unmapped pages DROP.
+    ``starts`` (N,) masks writes below it — positions already present in
+    SHARED prefix pages must never be rewritten: a differently-shaped
+    admission batch recomputes KV with different XLA accumulation order,
+    and a 1-ulp payload flip would perturb other live holders."""
     L, N, Sp, KV, D = pk8.shape
     page = paged.page_size
     tpos = jnp.arange(Sp)
@@ -1186,6 +1191,8 @@ def _paged_write_prompts(paged: PagedKVCache, pk8, pks, pv8, pvs,
     n_pages_total = paged.pool.shape[0]
     valid = ((tpos[None] < jnp.minimum(lengths[:, None], paged.max_seq))
              & (pg >= 0) & (slots[:, None] < paged.n_slots))
+    if starts is not None:
+        valid = valid & (tpos[None] >= starts[:, None])
     pg = jnp.where(valid, pg, n_pages_total)              # overruns drop
     rows = (tpos % page)[:, None] * KV + jnp.arange(KV)[None]   # (Sp, KV)
     pgi = pg[:, :, None]                                  # (N, Sp, 1)
@@ -1229,11 +1236,15 @@ def prefill_batch_paged(params: Dict, paged: PagedKVCache,
                         lengths: jax.Array, key: jax.Array,
                         temperature: jax.Array, top_k, top_p,
                         tokens: jax.Array, positions: jax.Array,
-                        cfg: ServeConfig):
+                        cfg: ServeConfig,
+                        write_starts: Optional[jax.Array] = None):
     """Paged twin of :func:`prefill_batch` (batched admission in one
-    dispatch).  Returns (first_tokens (N,), paged, tokens, positions)."""
+    dispatch).  ``write_starts`` (N,) skips cache writes below it (the
+    positions covered by shared prefix pages).  Returns
+    (first_tokens (N,), paged, tokens, positions)."""
     h, pk8, pks, pv8, pvs = _dense_forward(params, prompts, cfg)
-    paged = _paged_write_prompts(paged, pk8, pks, pv8, pvs, slots, lengths)
+    paged = _paged_write_prompts(paged, pk8, pks, pv8, pvs, slots, lengths,
+                                 starts=write_starts)
     logits = _first_token_logits(params, h, lengths, cfg.model)
     first = sample_tokens(logits, key, temperature, top_k, top_p)
     tokens = tokens.at[slots].set(first, mode="drop")

@@ -479,7 +479,11 @@ def prefill_chunked_paged(params: Dict, paged, prompt, slot: int,
 
     prompt = list(map(int, prompt))
     n = len(prompt)
-    assert start < n
+    if not 0 <= start < n:
+        raise ValueError(
+            f"start={start} must leave at least one token to score "
+            f"(prompt length {n}); a fully-cached prompt should rescore "
+            f"its last token (start=len(prompt)-1)")
     slot_arr = jnp.asarray([slot], jnp.int32)
     logits_last = None
     done = start
@@ -615,7 +619,8 @@ class SpecStats:
     rounds: int = 0
     drafted: int = 0
     accepted: int = 0
-    emitted: int = 0
+    emitted: int = 0    # tokens produced by draft/verify ROUNDS only
+                        # (the prefill-sampled first token is excluded)
 
     @property
     def acceptance_rate(self) -> float:
@@ -671,7 +676,7 @@ def speculative_decode(params: Dict, draft_params: Dict,
     ctx = prompt + [first]       # target ring holds ctx[:-1]
     dpos = len(prompt)           # draft ring holds ctx[:dpos]
     out: List[int] = [first]
-    stats = SpecStats(emitted=1)
+    stats = SpecStats()
 
     while len(out) < n_new:
         # Catch the draft cache up to ctx[:-1] (0 or 1 pending tokens).

@@ -141,10 +141,12 @@ def scale_by_adam_8bit(b1: float = 0.9, b2: float = 0.999,
 
 
 def adamw_8bit(learning_rate, b1: float = 0.9, b2: float = 0.999,
-               eps: float = 1e-8, weight_decay: float = 0.0,
+               eps: float = 1e-8, weight_decay: float = 1e-4,
                block: int = 256,
                mask=None) -> optax.GradientTransformation:
-    """AdamW with 8-bit moments — same chain shape as ``optax.adamw``."""
+    """AdamW with 8-bit moments — same chain shape AND defaults as
+    ``optax.adamw`` (weight_decay=1e-4), so swapping it in changes only
+    the state precision, not the training objective."""
     tx = [scale_by_adam_8bit(b1=b1, b2=b2, eps=eps, block=block)]
     if weight_decay:
         tx.append(optax.add_decayed_weights(weight_decay, mask=mask))

@@ -114,8 +114,8 @@ def test_eviction_frees_cold_pages_not_held_ones(setup):
     assert len(eng._prefix_index) == 2
     # a different 2-page prefix B needs eviction of A's cold pages
     b = list(range(60, 60 + 2 * PSZ))
-    eng.run([Request(uid=1, prompt=b + [3], max_new_tokens=4)])
-    assert 1 in eng.finished or True       # finished dict drained by run
+    out_b = eng.run([Request(uid=1, prompt=b + [3], max_new_tokens=4)])
+    assert len(out_b[1]) == 4              # B completed despite eviction
     keys = list(eng._prefix_index)
     assert all(k[0] == 60 for k in keys)   # A evicted, B cached
 

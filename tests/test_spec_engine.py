@@ -92,6 +92,18 @@ def test_more_requests_than_slots_cycle_through(target, draft):
     assert set(out) == set(range(5))
 
 
+def test_long_budget_matches_plain_to_window_edge(target, draft):
+    """A budget running close to the window: the spec engine must emit
+    exactly the plain engine's tokens all the way (no early truncation
+    — the verify-block reserve is taken from the prompt trim, not from
+    the emission bound)."""
+    rs = [Request(uid=0, prompt=[2, 7, 11, 5], max_new_tokens=80)]
+    ref = _plain_engine(target).run([Request(**vars(r)) for r in rs])
+    out = _spec_engine(target, draft).run([Request(**vars(r)) for r in rs])
+    assert len(ref[0]) == 80
+    assert out == ref
+
+
 def test_temperature_sampling_runs(target, draft):
     cfg, _, _ = target
     out = _spec_engine(target, draft).run(_reqs(n=2, new=8, temp=0.9))

@@ -141,8 +141,7 @@ def test_self_draft_accepts_everything(target):
                                     scfg, scfg, k_spec=4, max_seq=96)
     assert out == ref
     assert stats.acceptance_rate == 1.0, stats
-    # every round emits K+1 tokens (emitted also counts the prefill token)
-    assert (stats.emitted - 1) / stats.rounds == pytest.approx(5.0)
+    assert stats.tokens_per_round == pytest.approx(5.0)
 
 
 def test_rollback_restores_decode_state(target):
