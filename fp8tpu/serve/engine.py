@@ -181,6 +181,7 @@ class ServingEngine:
             self.spec_rounds = self.spec_drafted = self.spec_accepted = 0
         self.slots: List[Optional[_SlotState]] = [None] * n_slots
         self.queue: List[Request] = []
+        self._on_token = None
         self.finished: Dict[int, List[int]] = {}
         self.key = jax.random.key(seed)
         # Device-resident decode carry (chained across dispatches).
@@ -212,8 +213,31 @@ class ServingEngine:
                     f"max_new_tokens or grow n_pages")
         self.queue.append(req)
 
+    def cancel(self, uid: int) -> bool:
+        """Cancel a request by uid: dequeue it, or retire its live slot
+        (already-generated tokens land in ``finished``).  Tokens from
+        in-flight dispatches for a cancelled slot are discarded by the
+        normal parked-slot reconciliation.  Returns True if found."""
+        for k, r in enumerate(self.queue):
+            if r.uid == uid:
+                del self.queue[k]
+                self.finished[uid] = []
+                return True
+        for i in range(self.n_slots):
+            st = self.slots[i]
+            if st is not None and st.uid == uid:
+                self._retire(i)
+                return True
+        return False
+
     def run(self, requests: Optional[List[Request]] = None,
-            max_steps: int = 10 ** 6) -> Dict[int, List[int]]:
+            max_steps: int = 10 ** 6,
+            on_token=None) -> Dict[int, List[int]]:
+        """Drive the scheduler to completion.  ``on_token(uid, token)``
+        streams every accepted token (including each request's first
+        sampled token) in generation order as the host reconciles it —
+        tokens arrive up to ``depth`` dispatches behind the frontier."""
+        self._on_token = on_token
         for r in requests or ():
             self.submit(r)
         dispatched = 0
@@ -433,6 +457,8 @@ class ServingEngine:
             for j in range(chunk):
                 tok = int(toks[i, j])
                 st.tokens.append(tok)
+                if self._on_token is not None:
+                    self._on_token(st.uid, tok)
                 st.pos += 1
                 st.remaining -= 1
                 if (st.remaining <= 0 or st.pos >= self.max_seq - 1
@@ -460,6 +486,8 @@ class ServingEngine:
             emitted.append(int(bonus[i]))
             for tok in emitted:
                 st.tokens.append(tok)
+                if self._on_token is not None:
+                    self._on_token(st.uid, tok)
                 st.pos += 1
                 st.remaining -= 1
                 if (st.remaining <= 0 or st.pos >= self.max_seq - 1
@@ -608,6 +636,8 @@ class ServingEngine:
                 uid=req.uid, pos=len(prompt), remaining=req.max_new_tokens,
                 temperature=req.temperature, top_k=req.top_k,
                 top_p=req.top_p, eos_id=req.eos_id, tokens=[tok])
+            if self._on_token is not None:
+                self._on_token(req.uid, tok)
             # First sampled token counts toward the budget.
             self.slots[i].remaining -= 1
             if (self.slots[i].remaining <= 0
