@@ -120,6 +120,80 @@ def save_checkpoint(directory: str, step: int, params,
     return path
 
 
+def save_serve_artifact(directory: str, params, cfg) -> str:
+    """Persist a SERVING artifact: the quantized parameter tree
+    (fp8/int8/int4 payloads + scales) plus its ServeConfig, fully
+    self-describing — load needs no model code to rebuild a template.
+
+    The reference has no serving path; its closest analog is the QAT
+    checkpoint carrying ``model_qconfig_dict``
+    (/root/reference/examples/inference/classifier/imagenet_qat.py:209-219).
+    """
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def name(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in kp)
+
+    manifest = {name(kp): [list(v.shape), str(v.dtype)] for kp, v in flat}
+    meta = {
+        "manifest": manifest,
+        "serve_config": {
+            "model": dataclasses.asdict(cfg.model),
+            **{f.name: getattr(cfg, f.name)
+               for f in dataclasses.fields(cfg) if f.name != "model"},
+        },
+    }
+    with open(os.path.join(directory, "serve_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+    def tostore(v):
+        a = np.asarray(v)
+        # npz writes ml_dtypes extension types (fp8, bf16) as opaque
+        # void bytes; store their raw bytes explicitly instead and
+        # rebuild the dtype from the manifest on load.
+        if a.dtype.kind not in "fiub":
+            return a.view(np.uint8)
+        return a
+
+    arrays = {name(kp): tostore(v) for kp, v in flat}
+    path = os.path.join(directory, "serve_params.npz")
+    np.savez(path, **arrays)
+    return path
+
+
+def load_serve_artifact(directory: str):
+    """Load (params, ServeConfig) saved by :func:`save_serve_artifact`."""
+    import jax.numpy as jnp
+
+    from fp8tpu.models.transformer import DecoderConfig
+    from fp8tpu.serve.model import ServeConfig
+
+    directory = os.path.abspath(directory)
+    with open(os.path.join(directory, "serve_meta.json")) as f:
+        meta = json.load(f)
+    sc = dict(meta["serve_config"])
+    model = DecoderConfig(**sc.pop("model"))
+    cfg = ServeConfig(model=model, **sc)
+
+    data = np.load(os.path.join(directory, "serve_params.npz"))
+    params: Dict[str, Any] = {}
+    for name, (shape, dtype) in meta["manifest"].items():
+        raw = data[name]
+        target = np.dtype(jnp.dtype(dtype))
+        if raw.dtype != target:       # bytes-stored extension dtype
+            raw = raw.view(target)
+        arr = jnp.asarray(raw.reshape(shape))
+        node = params
+        parts = name.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    return params, cfg
+
+
 def restore_checkpoint(directory: str, step: int, template) -> Dict:
     """Restore (state, meta).  ``template`` is a pytree with the target
     structure (abstract or concrete)."""

@@ -130,3 +130,55 @@ def test_accuracy():
     assert float(top1) == 50.0
     # row0 top2 {1,0} hits label 1; row1 top2 {0,2} hits label 2.
     assert float(top2) == 100.0
+
+
+def test_serve_artifact_roundtrip(tmp_path):
+    """Serving artifact save/load: fp8 payloads survive npz (stored as
+    raw bytes, dtype rebuilt from the manifest) and the loaded engine
+    emits the same tokens."""
+    from fp8tpu.models import tiny_config
+    from fp8tpu.serve import Request, ServeConfig, ServingEngine
+    from fp8tpu.serve.model import random_serve_params
+    from fp8tpu.utils.checkpoint import (load_serve_artifact,
+                                         save_serve_artifact)
+
+    cfg = tiny_config(n_layers=2, d_model=64, n_heads=4, n_kv_heads=2,
+                      d_ff=128, vocab_size=128, max_seq_len=64)
+    params = random_serve_params(cfg, "e4m3")
+    scfg = ServeConfig(model=cfg, kv_fmt="int8")
+    save_serve_artifact(str(tmp_path), params, scfg)
+    p2, c2 = load_serve_artifact(str(tmp_path))
+    assert c2 == scfg
+
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(p2)[0]):
+        assert a.dtype == b.dtype and a.shape == b.shape, kp
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+    req = [Request(uid=0, prompt=[3, 1, 4], max_new_tokens=6)]
+    out_a = ServingEngine(params, scfg, n_slots=1, max_seq=64).run(
+        [Request(**vars(req[0]))])
+    out_b = ServingEngine(p2, c2, n_slots=1, max_seq=64).run(
+        [Request(**vars(req[0]))])
+    assert out_a == out_b
+
+
+def test_serve_artifact_roundtrip_int4(tmp_path):
+    from fp8tpu.models import tiny_config
+    from fp8tpu.serve.model import random_serve_params, ServeConfig
+    from fp8tpu.utils.checkpoint import (load_serve_artifact,
+                                         save_serve_artifact)
+
+    cfg = tiny_config(n_layers=1, d_model=64, n_heads=4, n_kv_heads=2,
+                      d_ff=128, vocab_size=128, max_seq_len=64)
+    params = random_serve_params(cfg, "int4")
+    scfg = ServeConfig(model=cfg, weight_fmt="int4")
+    save_serve_artifact(str(tmp_path), params, scfg)
+    p2, c2 = load_serve_artifact(str(tmp_path))
+    assert c2.weight_fmt == "int4" and c2.int4_group == scfg.int4_group
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(p2)[0]):
+        assert a.dtype == b.dtype and a.shape == b.shape, kp
