@@ -67,6 +67,7 @@ class _SlotState:
     top_p: float
     eos_id: Optional[int]
     tokens: List[int]            # generated tokens
+    logprobs: List[float] = dataclasses.field(default_factory=list)
 
 
 def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
@@ -182,6 +183,10 @@ class ServingEngine:
         self.slots: List[Optional[_SlotState]] = [None] * n_slots
         self.queue: List[Request] = []
         self._on_token = None
+        # per-uid log P(token) under the model distribution (chunked
+        # decode paths; the admission first token and spec-round tokens
+        # carry no logprob and leave the list shorter than tokens)
+        self.finished_logprobs: Dict[int, List[float]] = {}
         self.finished: Dict[int, List[int]] = {}
         self.key = jax.random.key(seed)
         # Device-resident decode carry (chained across dispatches).
@@ -222,6 +227,7 @@ class ServingEngine:
             if r.uid == uid:
                 del self.queue[k]
                 self.finished[uid] = []
+                self.finished_logprobs[uid] = []
                 return True
         for i in range(self.n_slots):
             st = self.slots[i]
@@ -303,6 +309,7 @@ class ServingEngine:
     def _retire(self, i: int):
         st = self.slots[i]
         self.finished[st.uid] = st.tokens
+        self.finished_logprobs[st.uid] = st.logprobs
         self.slots[i] = None
         self._pending[i] = 0
         if self.use_paged:
@@ -404,7 +411,7 @@ class ServingEngine:
         self.key, sub = jax.random.split(self.key)
         self._sync_table()
         decode = decode_chunk_paged if self.use_paged else decode_chunk
-        toks, self.cache, self._tokens_dev, self._pos_dev = decode(
+        toks, lps, self.cache, self._tokens_dev, self._pos_dev = decode(
             self.params, self.cache, self._tokens_dev, self._pos_dev,
             sub, temps, chunk, self.cfg, top_k=top_k, top_p=top_p)
         gens = []
@@ -414,7 +421,7 @@ class ServingEngine:
                 gens.append(self._gen[i])
             else:
                 gens.append(-1)
-        self._inflight.append((toks, chunk, gens))
+        self._inflight.append((toks, lps, chunk, gens))
         return True
 
     def _dispatch_spec(self) -> bool:
@@ -447,8 +454,9 @@ class ServingEngine:
         no longer matches (slot refilled since dispatch) are dropped."""
         if isinstance(entry[0], str) and entry[0] == "spec":
             return self._process_spec(entry)
-        toks_dev, chunk, gens = entry
+        toks_dev, lps_dev, chunk, gens = entry
         toks = np.asarray(toks_dev)                 # (B, chunk) readback
+        lps = np.asarray(lps_dev)
         for i in range(self.n_slots):
             st = self.slots[i]
             if st is None or gens[i] < 0 or gens[i] != self._gen[i]:
@@ -457,6 +465,7 @@ class ServingEngine:
             for j in range(chunk):
                 tok = int(toks[i, j])
                 st.tokens.append(tok)
+                st.logprobs.append(float(lps[i, j]))
                 if self._on_token is not None:
                     self._on_token(st.uid, tok)
                 st.pos += 1

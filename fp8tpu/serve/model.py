@@ -502,6 +502,15 @@ def _attend_ring(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs, head, lens,
 _CANDIDATES = 64     # top-k/top-p candidate pool (k is clamped to this)
 
 
+def _chosen_logprob(logits: jax.Array, chosen: jax.Array) -> jax.Array:
+    """log P(chosen) under the UNSCALED model distribution: (B, V) f32
+    logits + (B,) tokens → (B,) f32.  One extra logsumexp per step —
+    noise next to the weight-stream cost."""
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    return (jnp.take_along_axis(logits, chosen[:, None].astype(jnp.int32),
+                                axis=-1)[:, 0] - lse)
+
+
 def sample_tokens(logits: jax.Array, key: jax.Array,
                   temperature: jax.Array, top_k=None,
                   top_p=None) -> jax.Array:
@@ -617,7 +626,7 @@ def _steps_impl(params: Dict, ring: RingKVCache, tokens: jax.Array,
         h = _rms(h, params["final_norm"], mcfg.norm_eps)
         logits = _lm_head(params, h)
         nxt = sample_tokens(logits, step_key, temperature, top_k, top_p)
-        out = logits if want_logits else nxt
+        out = logits if want_logits else (nxt, _chosen_logprob(logits, nxt))
         return (nxt, pos + 1, kv8, sc, head), out
 
     W = cfg.ring_flush
@@ -733,7 +742,8 @@ def _steps_impl_sideflush(params: Dict, ring: RingKVCache,
             logits = _lm_head(params, h)
             nxt = sample_tokens(logits, step_key, temperature,
                                 top_k, top_p)
-            out = logits if want_logits else nxt
+            out = logits if want_logits else (nxt,
+                                              _chosen_logprob(logits, nxt))
             return (nxt, pos + 1, side8, ssc), out
 
         side8 = jnp.zeros((W, 2, L, BK, D), ring.kv8.dtype)
@@ -752,7 +762,10 @@ def _steps_impl_sideflush(params: Dict, ring: RingKVCache,
     keys = jax.random.split(key, n_steps).reshape(n_steps // W, W)
     (ftoks, fpos, kv8, sc, head), outs = jax.lax.scan(
         outer, (tokens, positions, ring.kv8, ring.sc, ring.head), keys)
-    outs = outs.reshape((n_steps,) + outs.shape[2:])
+    # flatten the (n_chunks, W, ...) leading dims (outs may be a
+    # (tokens, logprobs) tuple)
+    outs = jax.tree_util.tree_map(
+        lambda o: o.reshape((n_steps,) + o.shape[2:]), outs)
     return outs, RingKVCache(kv8, sc, head), ftoks, fpos
 
 
@@ -770,10 +783,10 @@ def decode_steps(params: Dict, ring: RingKVCache, tokens: jax.Array,
     (0 disables) and nucleus ``top_p`` (B,) f32 (>=1 disables) filter the
     sampled distribution on device.  Returns (sampled tokens
     (B, n_steps), ring)."""
-    toks, ring, _, _ = _steps_impl(params, ring, tokens, positions, key,
-                                   temperature, n_steps, cfg,
-                                   want_logits=False,
-                                   top_k=top_k, top_p=top_p)
+    (toks, _), ring, _, _ = _steps_impl(params, ring, tokens, positions,
+                                        key, temperature, n_steps, cfg,
+                                        want_logits=False,
+                                        top_k=top_k, top_p=top_p)
     return toks.T, ring
 
 
@@ -783,16 +796,17 @@ def decode_chunk(params: Dict, ring: RingKVCache, tokens: jax.Array,
                  positions: jax.Array, key: jax.Array,
                  temperature: jax.Array, n_steps: int, cfg: ServeConfig,
                  top_k=None, top_p=None):
-    """:func:`decode_steps` plus the final device carry: returns
-    (tokens (B, n_steps), ring, last_tokens (B,), positions (B,)).
+    """:func:`decode_steps` plus per-token logprobs and the final device
+    carry: returns (tokens (B, n_steps), logprobs (B, n_steps) f32,
+    ring, last_tokens (B,), positions (B,)).
 
     The engine chains chunks through the returned device carry so a
     dispatch never needs a host readback of the previous chunk (the
     readback happens lazily, pipeline-deep behind the dispatch chain)."""
-    toks, ring, ftoks, fpos = _steps_impl(
+    (toks, lps), ring, ftoks, fpos = _steps_impl(
         params, ring, tokens, positions, key, temperature, n_steps, cfg,
         want_logits=False, top_k=top_k, top_p=top_p)
-    return toks.T, ring, ftoks, fpos
+    return toks.T, lps.T, ring, ftoks, fpos
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("ring",))
@@ -1118,7 +1132,7 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
         h = _rms(h, params["final_norm"], mcfg.norm_eps)
         logits = _lm_head(params, h)
         nxt = sample_tokens(logits, step_key, temperature, top_k, top_p)
-        out = logits if want_logits else nxt
+        out = logits if want_logits else (nxt, _chosen_logprob(logits, nxt))
         return (nxt, pos + 1, paged, side8, side_sc), out
 
     keys = jax.random.split(key, n_steps)
@@ -1138,10 +1152,9 @@ def decode_steps_paged(params: Dict, paged: PagedKVCache,
                        ) -> Tuple[jax.Array, PagedKVCache]:
     """``n_steps`` decode steps over the paged KV pool (long-context
     twin of :func:`decode_steps`).  Returns (tokens (B, n_steps), pool)."""
-    toks, paged, _, _ = _steps_impl_paged(params, paged, tokens, positions,
-                                          key, temperature, n_steps, cfg,
-                                          want_logits=False, top_k=top_k,
-                                          top_p=top_p)
+    (toks, _), paged, _, _ = _steps_impl_paged(
+        params, paged, tokens, positions, key, temperature, n_steps, cfg,
+        want_logits=False, top_k=top_k, top_p=top_p)
     return toks.T, paged
 
 
@@ -1152,12 +1165,12 @@ def decode_chunk_paged(params: Dict, paged: PagedKVCache,
                        key: jax.Array, temperature: jax.Array,
                        n_steps: int, cfg: ServeConfig,
                        top_k=None, top_p=None):
-    """Paged twin of :func:`decode_chunk`: returns
-    (tokens (B, n_steps), pool, last_tokens (B,), positions (B,))."""
-    toks, paged, ftoks, fpos = _steps_impl_paged(
+    """Paged twin of :func:`decode_chunk`: returns (tokens (B, n_steps),
+    logprobs (B, n_steps), pool, last_tokens (B,), positions (B,))."""
+    (toks, lps), paged, ftoks, fpos = _steps_impl_paged(
         params, paged, tokens, positions, key, temperature, n_steps, cfg,
         want_logits=False, top_k=top_k, top_p=top_p)
-    return toks.T, paged, ftoks, fpos
+    return toks.T, lps.T, paged, ftoks, fpos
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("paged",))

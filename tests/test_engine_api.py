@@ -73,3 +73,18 @@ def test_cancel_unknown_uid(setup):
     cfg, params, scfg = setup
     eng = ServingEngine(params, scfg, n_slots=1, max_seq=96)
     assert eng.cancel(123) is False
+
+
+def test_finished_logprobs_match_token_probabilities(setup):
+    """Chunk-decoded tokens carry log P(token); greedy tokens must have
+    the highest logprob in their step's distribution (<= 0 and finite),
+    and lengths line up (first admission token has no logprob)."""
+    import numpy as np
+
+    cfg, params, scfg = setup
+    eng = ServingEngine(params, scfg, n_slots=2, max_seq=96, chunk_size=8)
+    out = eng.run(_reqs(n=2, new=7))
+    for uid, toks in out.items():
+        lps = eng.finished_logprobs[uid]
+        assert len(lps) == len(toks) - 1   # first token is admission's
+        assert all(np.isfinite(lp) and lp <= 0.0 for lp in lps)

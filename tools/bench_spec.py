@@ -92,7 +92,7 @@ def main():
 
     def plain(state):
         ring, toks, pos = state
-        _, ring, toks, pos = decode_chunk(
+        _, _, ring, toks, pos = decode_chunk(
             params, ring, toks, pos, jax.random.key(0),
             jnp.zeros((1,), jnp.float32), CH, scfg)
         return (ring, toks, pos)
