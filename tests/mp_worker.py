@@ -133,5 +133,35 @@ assert pp_err < 1e-5, f"cross-host pipeline parity failed: {pp_err}"
 assert all(np.isfinite(np.asarray(sh.data)).all()
            for sh in gw.addressable_shards)
 
-print(f"proc {pid}: OK (tp rel err {err:.4f}, pp err {pp_err:.2e})",
-      flush=True)
+# fp8-wire DP gradient all-reduce over the CROSS-PROCESS axis: every
+# payload byte on the (simulated) DCN is f8E4M3FN; each process holds a
+# distinct gradient shard and all must agree on the synced mean.
+from fp8tpu.parallel.grad_comm import wire_all_reduce_tree  # noqa: E402
+
+gsz = 4 * nproc
+gvals = (rng.standard_normal((gsz, 97)) *
+         np.logspace(-2, 1, 97)[None]).astype(np.float32)
+gg = put(gvals, P(("host", "data", "model"), None))
+
+
+def sync(t):
+    t = jax.tree_util.tree_map(lambda a: a.reshape(a.shape[1:]), t)
+    out = wire_all_reduce_tree({"g": t}, ("host", "data", "model"),
+                               fmt="e4m3", mean=True, block=32)
+    return jax.tree_util.tree_map(lambda a: a[None], out["g"])
+
+
+synced = jax.jit(shard_map(sync, mesh=mesh,
+                           in_specs=(P(("host", "data", "model"), None),),
+                           out_specs=P(("host", "data", "model"), None),
+                           check_vma=False))(gg)
+gref = gvals.mean(0)
+wire_err = max(
+    float(np.abs(np.asarray(sh.data)[0] - gref).max())
+    for sh in synced.addressable_shards)
+# e4m3 with block=32: error bounded by the per-block grid
+tol = 0.1 * float(np.abs(gvals).max())
+assert wire_err < tol, f"fp8-wire all-reduce parity failed: {wire_err}"
+
+print(f"proc {pid}: OK (tp rel err {err:.4f}, pp err {pp_err:.2e}, "
+      f"wire err {wire_err:.2e})", flush=True)
