@@ -44,35 +44,8 @@ import jax.flatten_util
 import jax.numpy as jnp
 from jax import lax
 
-_WIRE_DTYPES = {
-    "e4m3": jnp.float8_e4m3fn,
-    "e5m2": jnp.float8_e5m2,
-    "bf16": jnp.bfloat16,
-}
-_FMT_MAX = {"e4m3": 448.0, "e5m2": 57344.0}
-
-
-def _quant_blocks(x: jax.Array, fmt: str):
-    """Quantize ``x`` (..., block) against per-block amax scales.
-
-    Returns (payload, scales): payload in the wire dtype, ``scales``
-    f32 of shape ``x.shape[:-1]`` with ``x ≈ payload * scales[..., None]``.
-    """
-    amax = jnp.max(jnp.abs(x), axis=-1)
-    if fmt == "int8":
-        scale = jnp.maximum(amax, 1e-30) / 127.0
-        q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127)
-        return q.astype(jnp.int8), scale
-    if fmt == "bf16":
-        return x.astype(jnp.bfloat16), jnp.ones_like(amax)
-    fmax = _FMT_MAX[fmt]
-    scale = jnp.maximum(amax, 1e-30) / fmax
-    y = jnp.clip(x / scale[..., None], -fmax, fmax)
-    return y.astype(_WIRE_DTYPES[fmt]), scale
-
-
-def _dequant_blocks(q: jax.Array, scale: jax.Array) -> jax.Array:
-    return q.astype(jnp.float32) * scale[..., None]
+from fp8tpu.numerics.blockquant import (dequant_blocks as _dequant_blocks,
+                                        quant_blocks as _quant_blocks)
 
 
 def wire_all_reduce(x: jax.Array, axis_name: str, fmt: Optional[str] = "e4m3",

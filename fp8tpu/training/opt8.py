@@ -37,34 +37,25 @@ import jax
 import jax.numpy as jnp
 import optax
 
-_E4M3_MAX = 448.0
+from fp8tpu.numerics.blockquant import dequant_blocks, quant_blocks
 
 
 def _quant_i8(x: jax.Array, block: int):
-    """Flat f32 → (int8 payload, per-block scales).  Shape-preserving
-    metadata lives with the caller; x is already padded flat."""
-    xb = x.reshape(-1, block)
-    amax = jnp.max(jnp.abs(xb), axis=-1)
-    scale = jnp.maximum(amax, 1e-30) / 127.0
-    q = jnp.clip(jnp.round(xb / scale[:, None]), -127, 127)
-    return q.astype(jnp.int8), scale
+    """Flat f32 → (int8 payload, per-block scales)."""
+    return quant_blocks(x.reshape(-1, block), "int8")
 
 
 def _dequant_i8(q: jax.Array, scale: jax.Array) -> jax.Array:
-    return (q.astype(jnp.float32) * scale[:, None]).reshape(-1)
+    return dequant_blocks(q, scale).reshape(-1)
 
 
 def _quant_f8(x: jax.Array, block: int):
     """Flat non-negative f32 → (e4m3 payload, per-block scales)."""
-    xb = x.reshape(-1, block)
-    amax = jnp.max(xb, axis=-1)
-    scale = jnp.maximum(amax, 1e-30) / _E4M3_MAX
-    q = jnp.clip(xb / scale[:, None], 0.0, _E4M3_MAX)
-    return q.astype(jnp.float8_e4m3fn), scale
+    return quant_blocks(x.reshape(-1, block), "e4m3")
 
 
 def _dequant_f8(q: jax.Array, scale: jax.Array) -> jax.Array:
-    return (q.astype(jnp.float32) * scale[:, None]).reshape(-1)
+    return dequant_blocks(q, scale).reshape(-1)
 
 
 def _pad(n: int, block: int) -> int:
