@@ -34,6 +34,7 @@ host-serialized scheduler at ~7x below the raw chunked-decode loop):
 from __future__ import annotations
 
 import dataclasses
+import time
 from collections import deque
 from typing import Dict, List, Optional
 
@@ -68,6 +69,7 @@ class _SlotState:
     eos_id: Optional[int]
     tokens: List[int]            # generated tokens
     logprobs: List[float] = dataclasses.field(default_factory=list)
+    t_first: float = 0.0         # wall time of the first sampled token
 
 
 def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
@@ -183,6 +185,10 @@ class ServingEngine:
         self.slots: List[Optional[_SlotState]] = [None] * n_slots
         self.queue: List[Request] = []
         self._on_token = None
+        # request lifecycle metrics: submit->first-token and
+        # submit->retire wall times per uid (production observability)
+        self._submit_t: Dict[int, float] = {}
+        self.finished_meta: Dict[int, Dict[str, float]] = {}
         # per-uid log P(token) under the model distribution (chunked
         # decode paths; the admission first token and spec-round tokens
         # carry no logprob and leave the list shorter than tokens)
@@ -216,6 +222,7 @@ class ServingEngine:
                     f"request {req.uid} needs {need} pages but the pool "
                     f"only has {self.cache.pool.shape[0]}; lower "
                     f"max_new_tokens or grow n_pages")
+        self._submit_t[req.uid] = time.time()
         self.queue.append(req)
 
     def cancel(self, uid: int) -> bool:
@@ -228,6 +235,11 @@ class ServingEngine:
                 del self.queue[k]
                 self.finished[uid] = []
                 self.finished_logprobs[uid] = []
+                t0 = self._submit_t.pop(uid, time.time())
+                self.finished_meta[uid] = {"ttft_s": 0.0,
+                                           "latency_s":
+                                           round(time.time() - t0, 6),
+                                           "n_tokens": 0}
                 return True
         for i in range(self.n_slots):
             st = self.slots[i]
@@ -310,6 +322,12 @@ class ServingEngine:
         st = self.slots[i]
         self.finished[st.uid] = st.tokens
         self.finished_logprobs[st.uid] = st.logprobs
+        t0 = self._submit_t.pop(st.uid, st.t_first)
+        self.finished_meta[st.uid] = {
+            "ttft_s": round(st.t_first - t0, 6),
+            "latency_s": round(time.time() - t0, 6),
+            "n_tokens": len(st.tokens),
+        }
         self.slots[i] = None
         self._pending[i] = 0
         if self.use_paged:
@@ -644,7 +662,8 @@ class ServingEngine:
             self.slots[i] = _SlotState(
                 uid=req.uid, pos=len(prompt), remaining=req.max_new_tokens,
                 temperature=req.temperature, top_k=req.top_k,
-                top_p=req.top_p, eos_id=req.eos_id, tokens=[tok])
+                top_p=req.top_p, eos_id=req.eos_id, tokens=[tok],
+                t_first=time.time())
             if self._on_token is not None:
                 self._on_token(req.uid, tok)
             # First sampled token counts toward the budget.

@@ -88,3 +88,13 @@ def test_finished_logprobs_match_token_probabilities(setup):
         lps = eng.finished_logprobs[uid]
         assert len(lps) == len(toks) - 1   # first token is admission's
         assert all(np.isfinite(lp) and lp <= 0.0 for lp in lps)
+
+
+def test_finished_meta_lifecycle(setup):
+    cfg, params, scfg = setup
+    eng = ServingEngine(params, scfg, n_slots=2, max_seq=96, chunk_size=8)
+    out = eng.run(_reqs(n=2, new=5))
+    for uid in out:
+        meta = eng.finished_meta[uid]
+        assert meta["n_tokens"] == 5
+        assert 0.0 <= meta["ttft_s"] <= meta["latency_s"]

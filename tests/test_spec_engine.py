@@ -116,3 +116,28 @@ def test_topk_rejected_in_spec_mode(target, draft):
     with pytest.raises(ValueError, match="top-k/top-p"):
         eng.submit(Request(uid=0, prompt=[1, 2], max_new_tokens=4,
                            temperature=0.8, top_k=5))
+
+
+def test_moe_target_speculation_matches_plain(target, draft):
+    """Speculation through the MoE FFN branch: the paged scorer routes
+    every decode path's FFN through the shared block."""
+    import jax.numpy as jnp
+    from fp8tpu.models import Decoder
+    from fp8tpu.serve import convert_decoder_params
+
+    mcfg = tiny_config(n_layers=2, d_model=64, n_heads=4, n_kv_heads=2,
+                       d_ff=128, vocab_size=128, max_seq_len=96,
+                       n_experts=4)
+    model = Decoder(mcfg)
+    variables = model.init(jax.random.key(0), jnp.ones((1, 8), jnp.int32))
+    params = convert_decoder_params(variables, mcfg)
+    scfg = ServeConfig(model=mcfg)
+    _, dparams, dscfg = draft
+
+    ref = ServingEngine(params, scfg, n_slots=2, max_seq=96,
+                        use_paged=True, page_size=8).run(_reqs(n=2, new=8))
+    out = ServingEngine(params, scfg, n_slots=2, max_seq=96,
+                        use_paged=True, page_size=8,
+                        draft_params=dparams, draft_cfg=dscfg,
+                        k_spec=3).run(_reqs(n=2, new=8))
+    assert out == ref
