@@ -54,7 +54,8 @@ def main():
         from fp8tpu.data.squad import squad_to_npz
         if not args.vocab:
             ap.error("--squad_json needs --vocab")
-        args.data_npz = tempfile.mktemp(suffix=".npz")
+        fd, args.data_npz = tempfile.mkstemp(suffix=".npz")
+        os.close(fd)
         n = squad_to_npz(args.squad_json, args.vocab, args.data_npz,
                          max_seq_length=args.seq_len, doc_stride=128)
         print(f"converted {n} features from {args.squad_json}")

@@ -45,8 +45,12 @@ def main():
                                           load_image_train)
         paths, labels, classes = list_image_folder(args.imagenet_dir)
         rng = np.random.default_rng(0)
-        xs = np.stack([load_image_train(p, rng) for p in paths[:1024]])
-        ys = np.asarray(labels[:1024], np.int32)
+        # shuffle BEFORE truncating: the listing is class-sorted, so a
+        # plain [:1024] would only ever see the alphabetically-first
+        # classes of the num_classes head
+        order = rng.permutation(len(paths))[:1024]
+        xs = np.stack([load_image_train(paths[i], rng) for i in order])
+        ys = np.asarray([labels[i] for i in order], np.int32)
         n_cls = len(classes)
         cfg = ResNetConfig(stage_sizes=(1, 1), width=16,
                            num_classes=n_cls, small_images=False)

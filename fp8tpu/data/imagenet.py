@@ -97,8 +97,14 @@ def load_image_train(path: str, rng: np.random.Generator,
                 top = int(rng.integers(0, h - ch + 1))
                 im2 = im.crop((left, top, left + cw, top + ch))
                 break
-        else:  # fall back to center crop of the shorter side
+        else:
+            # torchvision fallback: resize shorter side then CENTER CROP
+            # a square (a bare resize would squash extreme aspect ratios)
             im2 = _resize_shorter(im, size)
+            w2, h2 = im2.size
+            left = (w2 - size) // 2
+            top = (h2 - size) // 2
+            im2 = im2.crop((left, top, left + size, top + size))
         im2 = im2.resize((size, size), Image.BILINEAR)
         if rng.random() < 0.5:
             im2 = im2.transpose(Image.FLIP_LEFT_RIGHT)

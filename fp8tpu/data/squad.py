@@ -117,6 +117,10 @@ class SquadExample:
     start_token: int = -1              # answer span in doc_tokens
     end_token: int = -1
     is_impossible: bool = False
+    # ALL gold answer strings (dev questions carry several; the official
+    # metric takes the max over them).  Populated regardless of
+    # is_training — is_training only gates the char→token span maps.
+    all_answers: List[str] = None
 
 
 def parse_squad_json(path: str, is_training: bool = True
@@ -148,14 +152,17 @@ def parse_squad_json(path: str, is_training: bool = True
                                   doc_tokens=doc_tokens,
                                   is_impossible=qa.get("is_impossible",
                                                        False))
-                if is_training and qa.get("answers") and not ex.is_impossible:
+                if qa.get("answers") and not ex.is_impossible:
+                    ex.all_answers = [a["text"] for a in qa["answers"]]
                     ans = qa["answers"][0]
                     ex.answer_text = ans["text"]
-                    s = ans["answer_start"]
-                    e = s + len(ans["text"]) - 1
-                    if 0 <= s < len(char_to_word) and e < len(char_to_word):
-                        ex.start_token = char_to_word[s]
-                        ex.end_token = char_to_word[e]
+                    if is_training:
+                        s = ans["answer_start"]
+                        e = s + len(ans["text"]) - 1
+                        if (0 <= s < len(char_to_word)
+                                and e < len(char_to_word)):
+                            ex.start_token = char_to_word[s]
+                            ex.end_token = char_to_word[e]
                 examples.append(ex)
     return examples
 
@@ -345,32 +352,39 @@ def decode_answers(features: SquadFeatures,
     return out
 
 
+def _f1_score(pred: str, gold: str) -> float:
+    pt, gt = pred.split(), gold.split()
+    if not pt or not gt:
+        return float(pt == gt)
+    common: Dict[str, int] = {}
+    for t in pt:
+        common[t] = common.get(t, 0) + 1
+    overlap = sum(min(c, gt.count(t)) for t, c in common.items())
+    if not overlap:
+        return 0.0
+    prec, rec = overlap / len(pt), overlap / len(gt)
+    return 2 * prec * rec / (prec + rec)
+
+
 def squad_string_em_f1(predictions: Dict[str, str],
                        examples: List[SquadExample]) -> Dict[str, float]:
     """Official string-level EM / token-overlap F1 (evaluate-v1.1.py
-    semantics) over {qid: predicted text}."""
+    semantics: metric_max_over_ground_truths over ALL gold answers) over
+    {qid: predicted text}."""
     em = f1 = n = 0
     for ex in examples:
         n += 1
         pred = _normalize_answer(predictions.get(ex.qid, ""))
-        if ex.is_impossible or not ex.answer_text:
+        golds = ex.all_answers or ([ex.answer_text] if ex.answer_text
+                                   else [])
+        if ex.is_impossible or not golds:
             # v2: an unanswerable question scores 1 iff predicted empty
             em += float(pred == "")
             f1 += float(pred == "")
             continue
-        gold = _normalize_answer(ex.answer_text)
-        em += float(pred == gold)
-        pt, gt = pred.split(), gold.split()
-        if not pt or not gt:
-            f1 += float(pt == gt)
-            continue
-        common: Dict[str, int] = {}
-        for t in pt:
-            common[t] = common.get(t, 0) + 1
-        overlap = sum(min(c, gt.count(t)) for t, c in common.items())
-        if overlap:
-            prec, rec = overlap / len(pt), overlap / len(gt)
-            f1 += 2 * prec * rec / (prec + rec)
+        norm = [_normalize_answer(g) for g in golds]
+        em += max(float(pred == g) for g in norm)
+        f1 += max(_f1_score(pred, g) for g in norm)
     n = max(n, 1)
     return {"exact_match": 100.0 * em / n, "f1": 100.0 * f1 / n}
 

@@ -212,6 +212,19 @@ class ServingEngine:
                 "top-k/top-p filtering changes the sampling law the "
                 "rejection rule needs; speculation supports greedy and "
                 "plain temperature sampling")
+        reserve = (self.k_spec + 1) if self.spec else 0
+        if req.max_new_tokens > self.max_seq - 2 - reserve:
+            # a larger budget would leave _trim_prompt with a
+            # non-positive keep length (prompt[-0:] keeps EVERYTHING,
+            # breaking the prompt+budget <= max_seq window invariant)
+            raise ValueError(
+                f"request {req.uid}: max_new_tokens="
+                f"{req.max_new_tokens} does not fit max_seq="
+                f"{self.max_seq}"
+                + (f" with the k_spec+1={reserve} verify reserve"
+                   if reserve else "")
+                + f"; the engine can serve at most "
+                  f"{self.max_seq - 2 - reserve} new tokens per request")
         if self.use_paged:
             prompt = self._trim_prompt(req)
             need_tokens = min(len(prompt) + req.max_new_tokens + 1,
@@ -291,8 +304,8 @@ class ServingEngine:
         # spec mode reserves a verify block: the LAST round's K+1 writes
         # must still fit in the window
         reserve = (self.k_spec + 1) if self.spec else 0
-        prompt = req.prompt[-(self.max_seq - req.max_new_tokens - 1
-                              - reserve):]
+        keep = max(1, self.max_seq - req.max_new_tokens - 1 - reserve)
+        prompt = req.prompt[-keep:]
         return prompt if prompt else [0]   # empty: decode from BOS-like 0
 
     def _rem_est(self, i: int) -> int:
@@ -315,7 +328,9 @@ class ServingEngine:
         chunk = min(_pow2ceil(tgt), _pow2ceil(self.chunk_size))
         w = getattr(self.cfg, "ring_flush", 0)
         if w and w > 1 and not self.use_paged:
-            chunk = max(chunk, _pow2ceil(w))
+            # round UP to a multiple of the flush slab (a pow2 is only a
+            # multiple of a pow2 W; ring_flush=6 needs 6, 12, 24, ...)
+            chunk = -(-max(chunk, w) // w) * w
         return chunk
 
     def _retire(self, i: int):

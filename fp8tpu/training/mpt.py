@@ -233,6 +233,17 @@ def make_train_step(
 
     def step(params, opt_state, batch, key):
         kf, kg, km = jax.random.split(key, 3)
+        # init_train_state and make_train_step take loss_scale
+        # independently; a mismatch fails deep inside optax with an
+        # opaque tree error — catch it at the boundary instead.
+        is_wrapped = (isinstance(opt_state, tuple) and len(opt_state) == 2
+                      and isinstance(opt_state[1], LossScaleState))
+        if use_scale != is_wrapped:
+            raise ValueError(
+                f"loss_scale mismatch: make_train_step(loss_scale="
+                f"{'on' if use_scale else 'None'}) but init_train_state "
+                f"produced a {'wrapped' if is_wrapped else 'bare'} "
+                f"opt_state — pass the same loss_scale to both")
         if use_scale:
             inner_state, ls = opt_state
             scale = ls.scale
