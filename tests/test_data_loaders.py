@@ -268,3 +268,31 @@ def test_squad_to_npz(squad_files, tmp_path):
     assert n == d["input_ids"].shape[0] >= 2
     assert d["attention_mask"].shape == d["input_ids"].shape
     assert (d["start"] < 48).all() and (d["end"] >= d["start"]).all()
+
+
+def test_squad_metric_max_over_gold_answers(tmp_path):
+    """Official evaluate-v1.1 semantics: score = max over ALL gold
+    answers, and eval-mode parses (is_training=False) carry them."""
+    import json
+
+    from fp8tpu.data.squad import parse_squad_json, squad_string_em_f1
+
+    data = {"data": [{"paragraphs": [{
+        "context": "The Denver Broncos won the game.",
+        "qas": [{"id": "q1", "question": "Who won?",
+                 "answers": [{"text": "Denver Broncos",
+                              "answer_start": 4},
+                             {"text": "Broncos", "answer_start": 11}]}],
+    }]}]}
+    p = tmp_path / "dev.json"
+    p.write_text(json.dumps(data))
+
+    for is_training in (True, False):
+        examples = parse_squad_json(str(p), is_training=is_training)
+        assert examples[0].all_answers == ["Denver Broncos", "Broncos"]
+        m = squad_string_em_f1({"q1": "Broncos"}, examples)
+        assert m["exact_match"] == 100.0, (is_training, m)
+        assert m["f1"] == 100.0
+        # partial credit measured against the BEST gold
+        m2 = squad_string_em_f1({"q1": "the Broncos won"}, examples)
+        assert 0.0 < m2["f1"] < 100.0 and m2["exact_match"] == 0.0
