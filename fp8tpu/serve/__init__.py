@@ -1,6 +1,7 @@
 """FP8 serving: fp8-weight decoder, fp8 KV cache, continuous batching."""
 
 from .engine import Request, ServingEngine  # noqa: F401
+from .server import EngineServer  # noqa: F401
 from .kv_cache import (  # noqa: F401
     KVCache,
     PagedKVCache,
