@@ -128,9 +128,10 @@ def make_handler(srv, engine, uid_counter):
                     self.wfile.write(
                         json.dumps({"error": str(e)}).encode() + b"\n")
                     return
+                info = srv.pop_info(uid)
                 self.wfile.write(json.dumps(
                     {"uid": uid, "tokens": tokens,
-                     "meta": engine.finished_meta.get(uid, {})}
+                     "meta": info.get("meta", {})}
                 ).encode() + b"\n")
                 return
             try:
@@ -138,11 +139,12 @@ def make_handler(srv, engine, uid_counter):
                 tokens = fut.result()
             except ValueError as e:
                 return self._json(400, {"error": str(e)})
+            info = srv.pop_info(uid)
             self._json(200, {
                 "uid": uid,
                 "tokens": tokens,
-                "logprobs": engine.finished_logprobs.get(uid, []),
-                "meta": engine.finished_meta.get(uid, {}),
+                "logprobs": info.get("logprobs", []),
+                "meta": info.get("meta", {}),
             })
 
     return Handler

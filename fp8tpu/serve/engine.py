@@ -76,7 +76,7 @@ def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    return _pow2ceil(n)   # longer prompts: exact pow2, never truncate
 
 
 def _pow2ceil(n: int) -> int:

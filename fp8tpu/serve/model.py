@@ -1210,7 +1210,16 @@ def _paged_write_prompts(paged: PagedKVCache, pk8, pks, pv8, pvs,
     rows = (tpos % page)[:, None] * KV + jnp.arange(KV)[None]   # (Sp, KV)
     pgi = pg[:, :, None]                                  # (N, Sp, 1)
     ri = rows[None]                                       # (1, Sp, KV)
-    uk8 = pk8.transpose(1, 2, 3, 0, 4)                    # (N, Sp, KV, L, D)
+    return _paged_scatter(paged, pgi, ri, pk8, pks, pv8, pvs)
+
+
+def _paged_scatter(paged: PagedKVCache, pgi, ri, pk8, pks, pv8, pvs
+                   ) -> PagedKVCache:
+    """Shared page-pool scatter core: payloads (L, N, T, KV, D[, ·]) land
+    at (page pgi (N, T, 1), row ri (N|1, T, KV)); out-of-range indices
+    DROP.  Callers (_paged_write_prompts, speculative._paged_write_block)
+    differ only in how they compute pgi/ri/validity."""
+    uk8 = pk8.transpose(1, 2, 3, 0, 4)                    # (N, T, KV, L, D)
     uv8 = pv8.transpose(1, 2, 3, 0, 4)
     uks = pks.transpose(1, 2, 3, 0)
     uvs = pvs.transpose(1, 2, 3, 0)

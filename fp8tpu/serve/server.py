@@ -37,6 +37,8 @@ class EngineServer:
         self._callbacks: Dict[int, Callable[[int], None]] = {}
         self._thread: Optional[threading.Thread] = None
         self._stop = False
+        self._info: Dict[int, Dict] = {}
+        self._info_cap = 4096
         # tokens stream through the engine's callback on the scheduler
         # thread; per-uid callbacks must be fast (queue hand-off etc.)
         engine._on_token = self._emit
@@ -87,7 +89,12 @@ class EngineServer:
     def _emit(self, uid: int, token: int) -> None:
         cb = self._callbacks.get(uid)
         if cb is not None:
-            cb(token)
+            try:
+                cb(token)
+            except Exception:
+                # a client's streaming callback must never take down
+                # the scheduler; drop the stream, keep the future
+                self._callbacks.pop(uid, None)
 
     def _drain_inbox(self) -> None:
         with self._cv:
@@ -99,10 +106,19 @@ class EngineServer:
             except ValueError as e:      # invalid budget etc.
                 fut = self._futures.pop(req.uid, None)
                 self._callbacks.pop(req.uid, None)
-                if fut is not None:
+                if fut is not None and not fut.done():
                     fut.set_exception(e)
         for uid in cancels:
             self.engine.cancel(uid)
+
+    def pop_info(self, uid: int) -> Dict:
+        """Take (and remove) a finished request's side info:
+        {"logprobs": [...], "meta": {...}}.  The server DRAINS the
+        engine's finished_logprobs/finished_meta maps (a long-running
+        process would otherwise grow them without bound); callers that
+        want them must pop after the future resolves."""
+        with self._cv:
+            return self._info.pop(uid, {})
 
     def _resolve_finished(self) -> None:
         if not self.engine.finished:
@@ -110,11 +126,36 @@ class EngineServer:
         done, self.engine.finished = self.engine.finished, {}
         for uid, tokens in done.items():
             self._callbacks.pop(uid, None)
+            with self._cv:
+                self._info[uid] = {
+                    "logprobs": self.engine.finished_logprobs.pop(uid,
+                                                                  []),
+                    "meta": self.engine.finished_meta.pop(uid, {}),
+                }
+                # bounded retention: callers that never pop must not
+                # leak — drop the oldest entries past the cap
+                while len(self._info) > self._info_cap:
+                    self._info.pop(next(iter(self._info)))
             fut = self._futures.pop(uid, None)
             if fut is not None and not fut.done():
                 fut.set_result(tokens)
 
+    def _fail_all(self, exc: BaseException) -> None:
+        with self._cv:
+            futures, self._futures = self._futures, {}
+            self._callbacks.clear()
+            self._stop = True
+        for fut in futures.values():
+            if not fut.done():
+                fut.set_exception(exc)
+
     def _loop(self) -> None:
+        try:
+            self._loop_inner()
+        except BaseException as e:          # never die silently: every
+            self._fail_all(e)               # waiter sees the error
+
+    def _loop_inner(self) -> None:
         eng = self.engine
         while True:
             self._drain_inbox()

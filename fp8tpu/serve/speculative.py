@@ -53,7 +53,6 @@ from .model import (
     _attn_xs,
     _embed_lookup,
     _ffn_block,
-    _first_token_logits,
     _layer_xs,
     _lm_head,
     _make_linear,
@@ -218,20 +217,9 @@ def _paged_write_block(paged, fk8, fks, fv8, fvs, starts, valid_t,
         valid = valid & row_valid[:, None]
     pg = jnp.where(valid, pg, n_pages)                    # drops
     rows = (tpos % page)[:, :, None] * KV + jnp.arange(KV)[None, None]
-    pgi = pg[:, :, None]                                  # (B, T, 1)
-    uk8 = fk8.transpose(1, 2, 3, 0, 4)                    # (B,T,KV,L,D)
-    uv8 = fv8.transpose(1, 2, 3, 0, 4)
-    uks = fks.transpose(1, 2, 3, 0)
-    uvs = fvs.transpose(1, 2, 3, 0)
-    pool, sc = paged.pool, paged.sc
-    pool = pool.at[pgi, 0, :, rows, :].set(uk8.astype(pool.dtype),
-                                           mode="drop")
-    pool = pool.at[pgi, 1, :, rows, :].set(uv8.astype(pool.dtype),
-                                           mode="drop")
-    sc = sc.at[pgi, 0, :, rows].set(uks, mode="drop")
-    sc = sc.at[pgi, 1, :, rows].set(uvs, mode="drop")
-    import dataclasses as _dc
-    return _dc.replace(paged, pool=pool, sc=sc)
+    from .model import _paged_scatter
+    return _paged_scatter(paged, pg[:, :, None], rows, fk8, fks, fv8,
+                          fvs)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("paged",))
@@ -653,6 +641,12 @@ def speculative_decode(params: Dict, draft_params: Dict,
     K = int(k_spec)
     assert cfg.ring_flush in (0, None) and dcfg.ring_flush in (0, None), \
         "speculative decode drives the plain ring path"
+    if len(prompt) + n_new + K + 2 > S:
+        raise ValueError(
+            f"prompt({len(prompt)}) + n_new({n_new}) + verify reserve "
+            f"({K + 2}) exceeds the ring window max_seq={S}; shorten "
+            f"the request or grow max_seq (a silent short return would "
+            f"be indistinguishable from completion)")
     key = key if key is not None else jax.random.key(0)
     temp1 = jnp.full((1,), float(temperature), jnp.float32)
 
