@@ -469,7 +469,9 @@ class ServingEngine:
          self._dpos, self.cache, self.dcache) = spec_round(
             self.params, self.cache, self.draft_params, self.dcache,
             self._pend, self._pend_n, self._pos_dev, self._dpos, sub,
-            temps, self.k_spec, self.cfg, self.draft_cfg)
+            temps, self.k_spec, self.cfg, self.draft_cfg,
+            any_sampled=any(
+                s is not None and s.temperature > 0 for s in self.slots))
         gens = []
         for i in range(self.n_slots):
             if self.slots[i] is not None:

@@ -528,12 +528,14 @@ def prefill_scored_paged(params: Dict, paged, suffix: jax.Array,
 # Batched speculation round (continuous batching, paged caches)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("k_spec", "cfg", "dcfg"),
+@partial(jax.jit,
+         static_argnames=("k_spec", "cfg", "dcfg", "any_sampled"),
          donate_argnames=("paged", "dpaged"))
 def spec_round(params: Dict, paged, draft_params: Dict, dpaged,
                pend: jax.Array, pend_n: jax.Array, tpos: jax.Array,
                dpos: jax.Array, key: jax.Array, temperature: jax.Array,
-               k_spec: int, cfg: ServeConfig, dcfg: ServeConfig):
+               k_spec: int, cfg: ServeConfig, dcfg: ServeConfig,
+               any_sampled: bool = True):
     """One batched speculation round for ALL slots in one dispatch.
 
     Per slot: catch the draft cache up on tokens it has not consumed
@@ -577,13 +579,18 @@ def spec_round(params: Dict, paged, draft_params: Dict, dpaged,
     vtoks = jnp.concatenate([last[:, None], drafted], axis=1)
     logits, paged = score_tokens_paged(params, paged, vtoks, tpos, cfg)
 
-    # 4) accept per slot.
+    # 4) accept per slot.  ``any_sampled`` is a static hint from the
+    # scheduler: an all-greedy batch skips the double softmax over
+    # (B, K+1, V) entirely (two compiled variants, cached).
     ag, bg = greedy_verify(logits, drafted)
-    as_, bs = sample_verify(logits, dlogits, drafted, kv,
-                            jnp.maximum(temperature, 1e-6))
-    greedy = temperature <= 0
-    a = jnp.where(greedy, ag, as_)
-    bonus = jnp.where(greedy, bg, bs)
+    if any_sampled:
+        as_, bs = sample_verify(logits, dlogits, drafted, kv,
+                                jnp.maximum(temperature, 1e-6))
+        greedy = temperature <= 0
+        a = jnp.where(greedy, ag, as_)
+        bonus = jnp.where(greedy, bg, bs)
+    else:
+        a, bonus = ag, bg
 
     # 5) advance. Draft logically keeps min(a+1, K) of its K new rows;
     # when a == K it never saw d_K, which becomes pending next round.
