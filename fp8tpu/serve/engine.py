@@ -29,6 +29,20 @@ host-serialized scheduler at ~7x below the raw chunked-decode loop):
   reconciles (EOS/budget retirement) up to ``depth`` chunks behind the
   dispatch frontier; per-slot generation counters discard tokens a
   parked slot produced after its logical retirement.
+
+Optional layers on the same scheduler:
+
+* **Batched speculation** (``draft_params=``, paged only): each round
+  is one ``spec_round`` dispatch — draft K tokens for every slot,
+  verify in one multi-token pass, advance per-slot by the accepted
+  count (serve/speculative.py).
+* **Prefix caching** (``prefix_cache=``, paged): content-addressed
+  prompt pages shared across requests (refcounts + LRU eviction);
+  ``prefix_compute_reuse=`` additionally skips recomputing cached
+  prefixes via scored-suffix admission.
+* **API surface**: ``run(on_token=)`` streaming, ``cancel(uid)``,
+  ``finished_logprobs``/``finished_meta`` observability; the async
+  front-end lives in serve/server.py (EngineServer).
 """
 
 from __future__ import annotations
