@@ -10,3 +10,8 @@ from .fakequant import (  # noqa: F401
     fake_quant_with_scale,
     quantize_grad,
 )
+from .awq import (  # noqa: F401
+    awq_calibrate_decoder,
+    awq_equalize,
+    collect_awq_stats,
+)
