@@ -99,9 +99,12 @@ def collect_awq_stats(model, variables, token_batches: Sequence,
     """
     filt = (lambda mdl, method: getattr(mdl, "name", None) in _CAPTURE)
 
+    # params are a RUNTIME argument: a closure would bake them into the
+    # compile payload as constants, which the tunneled remote-compile
+    # endpoint rejects at ~90M params (HTTP 413 — NOTES r3).
     @jax.jit
-    def captured(toks):
-        _, state = model.apply(variables, toks,
+    def captured(vs, toks):
+        _, state = model.apply(vs, toks,
                                capture_intermediates=filt,
                                mutable=["intermediates"])
         inter = state["intermediates"]
@@ -131,7 +134,7 @@ def collect_awq_stats(model, variables, token_batches: Sequence,
     stats: Dict[int, Dict[str, Dict[str, jnp.ndarray]]] = {}
     rng = jax.random.PRNGKey(seed)
     for bi, toks in enumerate(token_batches):
-        got = jax.device_get(captured(jnp.asarray(toks)))
+        got = jax.device_get(captured(variables, jnp.asarray(toks)))
         for li, sites in got.items():
             dst = stats.setdefault(li, {})
             for site, (amax, x) in sites.items():
