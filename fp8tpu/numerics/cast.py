@@ -279,15 +279,18 @@ def _cast_e4m3_v2(x, mode, scale, random_bits):
 def _cast_bfloat16(x, mode, random_bits):
     # uint32 arithmetic wraps mod 2^32, matching the reference's C unsigned
     # int pipeline (x64 is disabled, so int64 is unavailable under jit).
+    # True RNE via the full-sticky 0x7FFF+lsb bias add with a NaN/Inf
+    # pass-through gate — the reference's AVX512 production path
+    # (fpemu_impl.cpp:207-231); see golden.cast_bfloat16 for the scalar
+    # tail / biased-vector-SR reference defects this deliberately skips.
     u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    naninf = (u & jnp.uint32(0x7F800000)) == jnp.uint32(0x7F800000)
     if mode == RoundMode.STOCHASTIC:
-        u = u + (random_bits.astype(jnp.uint32) & jnp.uint32(0xFFFF))
-        u = u & jnp.uint32(0xFFFF0000)
+        incr = random_bits.astype(jnp.uint32) & jnp.uint32(0xFFFF)
     else:
-        grs = (u >> 13) & jnp.uint32(0xF)
-        u = u & jnp.uint32(0xFFFF0000)
-        up = ((grs & jnp.uint32(0x7)) > 0x4) | (grs == 0xC)
-        u = u + (up.astype(jnp.uint32) << 16)
+        incr = jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    u = jnp.where(naninf, u, u + incr)
+    u = u & jnp.uint32(0xFFFF0000)
     return jax.lax.bitcast_convert_type(u, jnp.float32)
 
 

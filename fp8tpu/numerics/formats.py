@@ -107,9 +107,13 @@ class FPFormat:
 #   E4M3:  fpemu_impl.cpp:1038-1133 (lshift 7, grs 0x007F, tie 0x00C0,
 #          sat exp 8 / mant 0x300 → ±448, flush < 2^-9, denorm < 2^-6,
 #          can_round below 0x5F00)
-#   E4M3-IEEE: fpemu_impl.cpp:1330-1470 (sat exp 7 / mant 0x380 → ±240,
-#          can_round below 0x4B80 — i.e. the reference saturates anything
-#          ≥ 15.0 to ±240; replicated verbatim in parity mode)
+#   E4M3-IEEE: fpemu_impl.cpp:1330-1470 (sat exp 7 / mant 0x380 → ±240).
+#          The reference's SCALAR path saturates anything ≥ 15.0 (its
+#          can_round constant 0x4B80 is a typo of 0x5B80 = fp16(240); the
+#          AVX512 body at fpemu_impl.cpp:1215-1262 uses vsatuval 0x5B80),
+#          so the reference disagrees with itself on the size%16 tail.
+#          We model the vector/production semantics — proven bitwise
+#          against the reference binary in DIFFREF.json (tools/diffref.py).
 #   E3M4:  fpemu_impl.cpp:1623-1717 (lshift 6, grs 0x003F, tie 0x0060,
 #          sat exp 4 / mant 0x380 → ±30, flush < 2^-6, denorm < 2^-2,
 #          can_round below 0x4F80)
@@ -138,7 +142,7 @@ E4M3_IEEE = FPFormat(
     name="e4m3_ieee", exp_bits=4, mant_bits=3, bias=7,
     max_normal=240.0, min_subnormal=2.0 ** -9, has_inf=True,
     cast_lshift=7, cast_grs_mask=0x007F, cast_tie_mask=0x00C0,
-    cast_rebias=True, cast_can_round_limit=0x4B80,
+    cast_rebias=True, cast_can_round_limit=0x5B80,
     cast_exp_sat=7, cast_sat_mant=0x0380,
     cast_flush_exp=-9, cast_min_norm_exp=-6,
     block_headroom=8.0,

@@ -343,17 +343,29 @@ def cast_bfloat16(
     mode: RoundMode = RoundMode.RNE,
     random_bits: np.ndarray | None = None,
 ) -> np.ndarray:
-    """BF16 fake-quant on fp32 bits (fpemu_impl.cpp:284-329)."""
+    """BF16 fake-quant on fp32 bits, modeling the reference's AVX512
+    production path (cvt_fp32_bf16_rne_intrinsic, fpemu_impl.cpp:207-231):
+    true round-to-nearest-even via the 0x7FFF + lsb bias add over the
+    FULL 16 discarded bits, NaN/Inf passed through unchanged.
+
+    Reference defects deliberately NOT modeled (found by tools/diffref.py,
+    documented in DIFFREF.json):
+      * its scalar tail (fpemu_impl.cpp:284-329, runs for the size%16
+        remainder) rounds on a 4-bit GRS window that ignores sticky bits
+        0-12, so the reference binary disagrees with itself between the
+        vector body and the tail;
+      * its vector SR path adds BOTH the 16 random bits and the RNE bias
+        (0x7FFF+fixup, fpemu_impl.cpp:268-279) — an up-biased "SR" unlike
+        its own scalar SR; we add the random bits only (unbiased)."""
     u = np.asarray(x, np.float32).view(np.uint32).astype(np.int64)
+    naninf = (u & 0x7F800000) == 0x7F800000
     if mode == RoundMode.STOCHASTIC:
         assert random_bits is not None
-        u = u + (random_bits.astype(np.int64) & 0xFFFF)
-        u = u & 0xFFFF0000
+        incr = random_bits.astype(np.int64) & 0xFFFF
     else:
-        grs = (u >> 13) & 0xF
-        u = u & 0xFFFF0000
-        up = ((grs & 0x7) > 0x4) | (grs == 0xC)
-        u = u + (up.astype(np.int64) << 16)
+        incr = 0x7FFF + ((u >> 16) & 1)
+    u = np.where(naninf, u, u + incr)
+    u = u & 0xFFFF0000
     return (u & 0xFFFFFFFF).astype(np.uint32).view(np.float32)
 
 
@@ -525,6 +537,12 @@ def cast_mode_string(
         rmode = RoundMode[ml[len("e4m3_v2_"):].upper()]
         return cast_e4m3_v2(x, rmode, scale, random_bits)
     fmt, rmode, daz = parse_mode_string(mode)
+    # ABI guard: the reference SILENTLY disables block_norm when the
+    # tensor size is not a multiple of block_size (fpemu_forward,
+    # fpemu_impl.cpp:2013-2028) — replicated for bit parity.
+    if block_norm and block_size != np.asarray(x).size:
+        if np.asarray(x).size % block_size:
+            block_norm, block_size = False, 1
     if block_norm:
         return cast_blocked(x, fmt, rmode, block_size, daz, random_bits)
     return cast(x, fmt, rmode, scale, daz, random_bits)

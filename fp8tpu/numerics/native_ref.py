@@ -72,6 +72,11 @@ def cast(x: np.ndarray, mode: str, scale: float = 1.0,
     """Reference-ABI cast on the host (mode strings like ``E4M3_RNE``)."""
     lib = load()
     xf = np.ascontiguousarray(x, np.float32)
+    # ABI guard (fpemu_forward, fpemu_impl.cpp:2013-2028): block_norm is
+    # SILENTLY disabled when size is not a multiple of block_size —
+    # mirrored by golden.cast_mode_string.
+    if block_norm and block_size != xf.size and xf.size % block_size:
+        block_norm, block_size = False, 1
     out = np.empty_like(xf)
     rc = lib.fpemu_cast(
         xf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -158,18 +158,26 @@ def e5m2_training_policy(scaled: bool = False) -> QuantPolicy:
     )
 
 
-def hybrid_training_policy() -> QuantPolicy:
+def hybrid_training_policy(scaled_bwd: bool = False) -> QuantPolicy:
     """Hybrid training: E4M3 per-tensor forward / E5M2 stochastic backward
-    (hybrid_emu.py:56-61; Micikevicius et al., arXiv:2209.05433)."""
+    (hybrid_emu.py:56-61; Micikevicius et al., arXiv:2209.05433).
+
+    Note the plain hybrid and direct recipes share an identical UNSCALED
+    e5m2-stochastic backward stream — the 7M ablation found per-tensor
+    scaling is the dominant convergence lever, which predicts the two
+    recipes converge to near-identical losses whenever the backward path
+    is the bottleneck.  ``scaled_bwd=True`` is the cell that tests this:
+    same forward, per-tensor-scaled backward."""
     fwd = TensorQuantConfig("e4m3", "rne", "per-tensor", cast_impl="hw")
-    bwd = TensorQuantConfig("e5m2", "stochastic", cast_impl="hw")
+    sc = "per-tensor" if scaled_bwd else "none"
+    bwd = TensorQuantConfig("e5m2", "stochastic", sc, cast_impl="hw")
     return QuantPolicy(
         default=ModuleQuantConfig(wt=fwd, iact=fwd, oact=fwd,
                                   igrad=bwd, ograd=bwd, wtgrad=bwd),
         emb=None,
         whitelist=TRAINING_WHITELIST,
         is_training=True,
-        name="hybrid",
+        name="hybrid-scaled" if scaled_bwd else "hybrid",
     )
 
 
@@ -248,6 +256,28 @@ def get_policy(dtype: str, training: bool = False) -> QuantPolicy:
             return e5m2_training_policy(scaled=True)
         if d == "hybrid":
             return hybrid_training_policy()
+        if d == "hybrid-scaled":
+            return hybrid_training_policy(scaled_bwd=True)
+        # Diagnostic half-recipes (role ablation, tools/accuracy_gates
+        # --role_ablation): quantize only the forward or only the
+        # backward streams of the hybrid recipe to localize which stream
+        # carries the convergence cost at scale.
+        if d == "hybrid-fwd-only":
+            p = hybrid_training_policy()
+            return dataclasses.replace(p, default=p.default.replace(
+                igrad=None, ograd=None, wtgrad=None), name="hybrid-fwd-only")
+        if d == "hybrid-bwd-only":
+            p = hybrid_training_policy()
+            return dataclasses.replace(p, default=p.default.replace(
+                wt=None, iact=None, oact=None), name="hybrid-bwd-only")
+        if d == "hybrid-no-wtgrad":
+            p = hybrid_training_policy()
+            return dataclasses.replace(p, default=p.default.replace(
+                wtgrad=None), name="hybrid-no-wtgrad")
+        if d == "hybrid-no-actgrad":
+            p = hybrid_training_policy()
+            return dataclasses.replace(p, default=p.default.replace(
+                igrad=None, ograd=None), name="hybrid-no-actgrad")
         if d in ("bfloat16", "bf16"):
             return bfloat16_policy()
         raise ValueError(f"unsupported training algo {dtype!r}")

@@ -122,7 +122,10 @@ static const Fmt E5M2f  = {8, 0x00FF, 0x0180, false, 0x7B00, 0, 0, 0, 0,
                            16384.0f};
 static const Fmt E4M3f  = {7, 0x007F, 0x00C0, true, 0x5F00, 8, 0x0300, -9,
                            -6, 8.0f};
-static const Fmt E4M3If = {7, 0x007F, 0x00C0, true, 0x4B80, 7, 0x0380, -9,
+// E4M3-IEEE can_round = 0x5B80 = fp16(240): the reference's AVX512 body
+// (vsatuval, fpemu_impl.cpp:1221); its scalar tail's 0x4B80 is a typo'd
+// constant (saturates >=15.0) not modeled here — see DIFFREF.json.
+static const Fmt E4M3If = {7, 0x007F, 0x00C0, true, 0x5B80, 7, 0x0380, -9,
                            -6, 8.0f};
 static const Fmt E3M4f  = {6, 0x003F, 0x0060, true, 0x4F80, 4, 0x0380, -6,
                            -2, 1.0f};
@@ -204,15 +207,18 @@ static float cast_rebias(float x, const Fmt& f, Mode m, float scale,
 }
 
 static float cast_bf16(float x, Mode m, Rng* rng) {
+  // True full-sticky RNE (0x7FFF + lsb bias add) with NaN/Inf pass-through
+  // — the reference's AVX512 production path (fpemu_impl.cpp:207-231).
+  // Its scalar tail's 4-bit GRS window and its biased vector SR
+  // (rand + RNE bias) are reference defects not modeled (DIFFREF.json).
   uint32_t u = f32_bits(x);
-  if (m == STOCH) {
-    u += rng->next() & 0xFFFFu;
-    u &= 0xFFFF0000u;
-  } else {
-    uint32_t grs = (u >> 13) & 0xFu;
-    u &= 0xFFFF0000u;
-    if (((grs & 0x7u) > 0x4u) || grs == 0xCu) u += 0x10000u;
+  if ((u & 0x7F800000u) != 0x7F800000u) {
+    if (m == STOCH)
+      u += rng->next() & 0xFFFFu;
+    else
+      u += 0x7FFFu + ((u >> 16) & 1u);
   }
+  u &= 0xFFFF0000u;
   return bits_f32(u);
 }
 

@@ -13,6 +13,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -32,6 +33,19 @@ def _best(fn, n=3):
         fn()
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _per_step(make_run, r1=16, r2=144, n=3):
+    """Steady-state per-step time of a scanned kernel: time the SAME
+    computation at two scan lengths and divide the difference — the
+    constant per-dispatch cost (the axon tunnel's ~30 ms round trip,
+    which a single-length measurement folds into every step and which
+    capped r3's cast numbers at ~70 GB/s regardless of kernel) cancels
+    exactly.  ``make_run(length)`` returns a nullary timed callable."""
+    run1, run2 = make_run(r1), make_run(r2)
+    t1 = _best(run1, n)
+    t2 = _best(run2, n)
+    return max(t2 - t1, 1e-9) / (r2 - r1), t1
 
 
 def training_overhead():
@@ -99,32 +113,36 @@ def qdq_matmul_mfu():
     from fp8tpu.kernels import qdq_matmul
 
     M = K = N = 4096
-    REPS = 16
     x = jax.random.normal(jax.random.key(0), (M, K), jnp.float32)
     w = jax.random.normal(jax.random.key(1), (K, N), jnp.float32)
     xb, wb = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
 
-    # REPS chained matmuls inside one jit: the ~30 ms tunnel round-trip
-    # would otherwise dominate a single 1.4 ms dot.
-    @jax.jit
-    def plain(xb, wb):
-        def body(c, _):
-            y = jnp.dot(c, wb, preferred_element_type=jnp.float32)
-            return (y * jnp.float32(1e-2)).astype(jnp.bfloat16), ()
-        c, _ = jax.lax.scan(body, xb, None, length=REPS)
-        return jnp.sum(c.astype(jnp.float32))
+    # Two-length scan timing (_per_step): the tunnel round-trip cancels.
+    def make_plain(length):
+        @partial(jax.jit, static_argnames="n")
+        def plain(xb, wb, n):
+            def body(c, _):
+                y = jnp.dot(c, wb, preferred_element_type=jnp.float32)
+                return (y * jnp.float32(1e-2)).astype(jnp.bfloat16), ()
+            c, _ = jax.lax.scan(body, xb, None, length=n)
+            return jnp.sum(c.astype(jnp.float32))
+        return lambda: float(plain(xb, wb, length))
 
-    t_plain = _best(lambda: float(plain(xb, wb))) / REPS
+    t_plain, _ = _per_step(make_plain)
 
     def fused_t(impl):
-        @jax.jit
-        def fused(x, w):
-            def body(c, _):
-                y = qdq_matmul(c, w, fmt_x="e4m3", fmt_w="e4m3", impl=impl)
-                return y * jnp.float32(1e-2), ()
-            c, _ = jax.lax.scan(body, x, None, length=REPS)
-            return jnp.sum(c)
-        return _best(lambda: float(fused(x, w))) / REPS
+        def make(length):
+            @partial(jax.jit, static_argnames="n")
+            def fused(x, w, n):
+                def body(c, _):
+                    y = qdq_matmul(c, w, fmt_x="e4m3", fmt_w="e4m3",
+                                   impl=impl)
+                    return y * jnp.float32(1e-2), ()
+                c, _ = jax.lax.scan(body, x, None, length=n)
+                return jnp.sum(c)
+            return lambda: float(fused(x, w, length))
+        t, _ = _per_step(make)
+        return t
 
     # "hw" is the production engine configuration (training presets set
     # cast_impl="hw"): native-convert cast + full-rate bf16 MXU dot with
@@ -145,65 +163,47 @@ def qdq_matmul_mfu():
 
 
 def cast_bandwidth():
-    """Pallas cast kernel GB/s (read f32 + write f32)."""
+    """Cast kernel GB/s (read f32 + write f32), steady-state per-step
+    timing (_per_step — the tunnel dispatch latency cancels; r3's
+    single-length numbers were latency-bound at ~70 GB/s for EVERY
+    elementwise kernel including a bare multiply)."""
     from fp8tpu.kernels import pallas_qdq
     from fp8tpu.numerics.formats import RoundMode
-
-    n = 64 * 1024 * 1024 // 4  # 64 MB of f32
-    REPS = 16
-    x = jax.random.normal(jax.random.key(0), (n // 1024, 1024), jnp.float32)
-
-    @jax.jit
-    def run(x):
-        def body(c, _):
-            return pallas_qdq(c * jnp.float32(1.0001), fmt="e4m3",
-                              mode=RoundMode.RNE), ()
-        c, _ = jax.lax.scan(body, x, None, length=REPS)
-        return jnp.sum(c)
-
-    t = _best(lambda: float(run(x))) / REPS
-    out = {"cast_e4m3_rne_gbps": round(2 * x.nbytes / t / 1e9, 1)}
-
-    # the production-speed path: hardware-dtype cast (cast_impl='hw')
     from fp8tpu.quant.config import TensorQuantConfig
     from fp8tpu.quant.fakequant import fake_quant
+
+    n = 64 * 1024 * 1024 // 4  # 64 MB of f32
+    x = jax.random.normal(jax.random.key(0), (n // 1024, 1024), jnp.float32)
+
+    def scan_bench(body):
+        def make(length):
+            @partial(jax.jit, static_argnames="n")
+            def run(x, n):
+                c, _ = jax.lax.scan(lambda c, _: (body(c), ()), x, None,
+                                    length=n)
+                return jnp.sum(c)
+            return lambda: float(run(x, length))
+        t, _ = _per_step(make)
+        return round(2 * x.nbytes / t / 1e9, 1)
+
     cfg = TensorQuantConfig("e4m3", "rne", cast_impl="hw")
-
-    @jax.jit
-    def run_hw(x):
-        def body(c, _):
-            return fake_quant(c * jnp.float32(1.0001), cfg), ()
-        c, _ = jax.lax.scan(body, x, None, length=REPS)
-        return jnp.sum(c)
-
-    t = _best(lambda: float(run_hw(x))) / REPS
-    out["cast_e4m3_hw_gbps"] = round(2 * x.nbytes / t / 1e9, 1)
-
-    # Achievable-bandwidth references on the SAME harness: a bare
-    # elementwise multiply (the r/w ceiling any qdq variant can reach
-    # under this scan) and a bf16 round-trip (one native convert pair).
-    # These contextualize the cast numbers: GB/s here is bounded by the
-    # scan's serialized read-modify-write, not by HBM peak.
-    @jax.jit
-    def run_mul(x):
-        def body(c, _):
-            return c * jnp.float32(1.0001), ()
-        c, _ = jax.lax.scan(body, x, None, length=REPS)
-        return jnp.sum(c)
-
-    t = _best(lambda: float(run_mul(x))) / REPS
-    out["elementwise_mul_gbps"] = round(2 * x.nbytes / t / 1e9, 1)
-
-    @jax.jit
-    def run_bf16(x):
-        def body(c, _):
-            return (c * jnp.float32(1.0001)).astype(
-                jnp.bfloat16).astype(jnp.float32), ()
-        c, _ = jax.lax.scan(body, x, None, length=REPS)
-        return jnp.sum(c)
-
-    t = _best(lambda: float(run_bf16(x))) / REPS
-    out["bf16_roundtrip_gbps"] = round(2 * x.nbytes / t / 1e9, 1)
+    out = {
+        "cast_e4m3_rne_gbps": scan_bench(
+            lambda c: pallas_qdq(c * jnp.float32(1.0001), fmt="e4m3",
+                                 mode=RoundMode.RNE)),
+        # the production-speed path: hardware-dtype cast (cast_impl='hw')
+        "cast_e4m3_hw_gbps": scan_bench(
+            lambda c: fake_quant(c * jnp.float32(1.0001), cfg)),
+        # Achievable-bandwidth references on the SAME harness: a bare
+        # elementwise multiply (the r/w ceiling any qdq variant can
+        # reach under this scan) and a bf16 round-trip (one native
+        # convert pair).
+        "elementwise_mul_gbps": scan_bench(
+            lambda c: c * jnp.float32(1.0001)),
+        "bf16_roundtrip_gbps": scan_bench(
+            lambda c: (c * jnp.float32(1.0001)).astype(
+                jnp.bfloat16).astype(jnp.float32)),
+    }
     for k in ("cast_e4m3_rne_gbps", "cast_e4m3_hw_gbps"):
         out[k.replace("_gbps", "_vs_ceiling")] = round(
             out[k] / out["elementwise_mul_gbps"], 3)
