@@ -68,7 +68,7 @@ def bench_variant(fmt: str, kv_fmt: str, cfg: DecoderConfig = CFG,
         # The serving engine's chunked decode: ``steps`` steps +
         # on-device sampling in one compiled program.
         return decode_steps(params, cache, tokens, pos0, key, temp,
-                            steps, scfg)
+                            steps, scfg, greedy_only=True)
 
     # Warmup (compile + first execution); the cache is donated, so keep
     # chaining the returned one.

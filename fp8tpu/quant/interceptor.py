@@ -95,7 +95,11 @@ def _gc_fwd(x, cfg, key):
 
 
 def _gc_bwd(cfg, key, g):
-    return (quantize_grad(g, cfg, key), None)
+    # Cotangent dtype must match the primal's: the fake-quant pipeline
+    # emits f32, but when no forward cast upcast the graph (e.g. the
+    # bwd-only diagnostic recipe on a bf16 model) the primal stream is
+    # bf16 and a raw f32 cotangent poisons downstream backward muls.
+    return (quantize_grad(g, cfg, key).astype(g.dtype), None)
 
 
 grad_cast.defvjp(_gc_fwd, _gc_bwd)

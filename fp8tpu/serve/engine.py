@@ -111,7 +111,7 @@ class ServingEngine:
                  prefix_compute_reuse: bool = False,
                  draft_params: Optional[Dict] = None,
                  draft_cfg: Optional[ServeConfig] = None,
-                 k_spec: int = 4):
+                 k_spec: int = 4, spec_rounds_per_dispatch: int = 1):
         m = cfg.model
         self.params = params
         self.cfg = cfg
@@ -184,6 +184,11 @@ class ServingEngine:
             self.draft_params = draft_params
             self.draft_cfg = draft_cfg
             self.k_spec = max(1, k_spec)
+            # Rounds chained per dispatch (speculative.spec_rounds):
+            # amortizes the per-dispatch cost over R*(K+1) potential
+            # tokens the way plain decode's chunk does — the r3
+            # one-round-per-dispatch engine lost 5x to dispatch overhead.
+            self.spec_rpd = max(1, spec_rounds_per_dispatch)
             # the draft pool statically owns one table row per slot
             self.dcache = PagedKVCache.create(
                 n_slots * max_pages, page_size, dm.n_layers, n_slots,
@@ -221,12 +226,11 @@ class ServingEngine:
 
     # -- public API ------------------------------------------------------
     def submit(self, req: Request):
-        if self.spec and (req.top_k > 0 or req.top_p < 1.0):
-            raise ValueError(
-                "top-k/top-p filtering changes the sampling law the "
-                "rejection rule needs; speculation supports greedy and "
-                "plain temperature sampling")
-        reserve = (self.k_spec + 1) if self.spec else 0
+        # top-k/top-p requests are served in spec mode too: the same
+        # per-slot filter is applied to target AND draft laws inside
+        # sample_verify, keeping rejection sampling lossless w.r.t. the
+        # filtered target distribution (speculative.filter_logits).
+        reserve = self.spec_rpd * (self.k_spec + 1) if self.spec else 0
         if req.max_new_tokens > self.max_seq - 2 - reserve:
             # a larger budget would leave _trim_prompt with a
             # non-positive keep length (prompt[-0:] keeps EVERYTHING,
@@ -315,9 +319,9 @@ class ServingEngine:
 
     # -- scheduler -------------------------------------------------------
     def _trim_prompt(self, req: Request) -> List[int]:
-        # spec mode reserves a verify block: the LAST round's K+1 writes
-        # must still fit in the window
-        reserve = (self.k_spec + 1) if self.spec else 0
+        # spec mode reserves a verify block: the LAST dispatch's
+        # spec_rpd*(K+1) writes must still fit in the window
+        reserve = self.spec_rpd * (self.k_spec + 1) if self.spec else 0
         keep = max(1, self.max_seq - req.max_new_tokens - 1 - reserve)
         prompt = req.prompt[-keep:]
         return prompt if prompt else [0]   # empty: decode from BOS-like 0
@@ -458,9 +462,13 @@ class ServingEngine:
         self.key, sub = jax.random.split(self.key)
         self._sync_table()
         decode = decode_chunk_paged if self.use_paged else decode_chunk
+        # static all-greedy hint: skips the per-step categorical program
+        greedy_only = (top_k is None and top_p is None and not any(
+            s is not None and s.temperature > 0 for s in self.slots))
         toks, lps, self.cache, self._tokens_dev, self._pos_dev = decode(
             self.params, self.cache, self._tokens_dev, self._pos_dev,
-            sub, temps, chunk, self.cfg, top_k=top_k, top_p=top_p)
+            sub, temps, chunk, self.cfg, top_k=top_k, top_p=top_p,
+            greedy_only=greedy_only)
         gens = []
         for i in range(self.n_slots):
             if self.slots[i] is not None:
@@ -474,23 +482,25 @@ class ServingEngine:
     def _dispatch_spec(self) -> bool:
         if not self._dispatchable():
             return False
-        from .speculative import spec_round
+        from .speculative import spec_rounds
 
-        temps, _, _ = self._sampling_arrays()
+        temps, top_k, top_p = self._sampling_arrays()
         self.key, sub = jax.random.split(self.key)
         self._sync_table()
+        filtering = top_k is not None or top_p is not None
         (drafted, a, bonus, self._pend, self._pend_n, self._pos_dev,
-         self._dpos, self.cache, self.dcache) = spec_round(
+         self._dpos, self.cache, self.dcache) = spec_rounds(
             self.params, self.cache, self.draft_params, self.dcache,
             self._pend, self._pend_n, self._pos_dev, self._dpos, sub,
-            temps, self.k_spec, self.cfg, self.draft_cfg,
+            temps, self.k_spec, self.spec_rpd, self.cfg, self.draft_cfg,
             any_sampled=any(
-                s is not None and s.temperature > 0 for s in self.slots))
+                s is not None and s.temperature > 0 for s in self.slots),
+            filtering=filtering, top_k=top_k, top_p=top_p)
         gens = []
         for i in range(self.n_slots):
             if self.slots[i] is not None:
-                # conservative: a round emits at most K+1 tokens
-                self._pending[i] += self.k_spec + 1
+                # conservative: a dispatch emits at most R*(K+1) tokens
+                self._pending[i] += self.spec_rpd * (self.k_spec + 1)
                 gens.append(self._gen[i])
             else:
                 gens.append(-1)
@@ -525,32 +535,42 @@ class ServingEngine:
                     break
 
     def _process_spec(self, entry):
-        """Reconcile one speculation round: each live slot emits its
-        accepted draft tokens plus the bonus (1..K+1 tokens)."""
+        """Reconcile one speculation dispatch (R chained rounds): each
+        live slot emits, per round, its accepted draft tokens plus the
+        bonus (1..K+1 tokens); a slot retiring mid-dispatch drops the
+        remaining rounds' tokens (same contract as plain decode's
+        within-chunk EOS break)."""
         _, drafted_dev, a_dev, bonus_dev, gens = entry
-        drafted = np.asarray(drafted_dev)           # (B, K)
-        a = np.asarray(a_dev)
-        bonus = np.asarray(bonus_dev)
-        self.spec_rounds += 1
+        drafted = np.asarray(drafted_dev)           # (R, B, K)
+        a = np.asarray(a_dev)                       # (R, B)
+        bonus = np.asarray(bonus_dev)               # (R, B)
+        R = drafted.shape[0]
+        self.spec_rounds += R
         for i in range(self.n_slots):
             st = self.slots[i]
             if st is None or gens[i] < 0 or gens[i] != self._gen[i]:
                 continue
-            self._pending[i] -= self.k_spec + 1
-            n_acc = int(a[i])
-            self.spec_drafted += self.k_spec
-            self.spec_accepted += n_acc
-            emitted = [int(drafted[i, t]) for t in range(n_acc)]
-            emitted.append(int(bonus[i]))
-            for tok in emitted:
-                st.tokens.append(tok)
-                if self._on_token is not None:
-                    self._on_token(st.uid, tok)
-                st.pos += 1
-                st.remaining -= 1
-                if (st.remaining <= 0 or st.pos >= self.max_seq - 1
-                        or (st.eos_id is not None and tok == st.eos_id)):
-                    self._retire(i)
+            self._pending[i] -= R * (self.k_spec + 1)
+            for r in range(R):
+                n_acc = int(a[r, i])
+                self.spec_drafted += self.k_spec
+                self.spec_accepted += n_acc
+                emitted = [int(drafted[r, i, t]) for t in range(n_acc)]
+                emitted.append(int(bonus[r, i]))
+                retired = False
+                for tok in emitted:
+                    st.tokens.append(tok)
+                    if self._on_token is not None:
+                        self._on_token(st.uid, tok)
+                    st.pos += 1
+                    st.remaining -= 1
+                    if (st.remaining <= 0 or st.pos >= self.max_seq - 1
+                            or (st.eos_id is not None
+                                and tok == st.eos_id)):
+                        self._retire(i)
+                        retired = True
+                        break
+                if retired:
                     break
 
     def _admit(self):

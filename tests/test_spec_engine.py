@@ -111,11 +111,69 @@ def test_temperature_sampling_runs(target, draft):
     assert all(0 <= t < cfg.vocab_size for v in out.values() for t in v)
 
 
-def test_topk_rejected_in_spec_mode(target, draft):
-    eng = _spec_engine(target, draft)
-    with pytest.raises(ValueError, match="top-k/top-p"):
-        eng.submit(Request(uid=0, prompt=[1, 2], max_new_tokens=4,
-                           temperature=0.8, top_k=5))
+def test_topk1_spec_equals_greedy(target, draft):
+    """top_k=1 at temperature>0 forces argmax: the filtered spec engine
+    must emit exactly the greedy plain engine's tokens (the same
+    per-slot filter is applied to target and draft laws, so rejection
+    sampling follows the filtered target law)."""
+    ref = _plain_engine(target).run(_reqs(n=2, new=8))
+    rs = [Request(uid=i, prompt=[2 + i, 7, 11, 5 + i], max_new_tokens=8,
+                  temperature=0.9, top_k=1) for i in range(2)]
+    out = _spec_engine(target, draft).run(rs)
+    assert out == ref
+
+
+def test_topp_tiny_spec_equals_greedy(target, draft):
+    """top_p below the argmax probability keeps only the argmax."""
+    ref = _plain_engine(target).run(_reqs(n=2, new=6))
+    rs = [Request(uid=i, prompt=[2 + i, 7, 11, 5 + i], max_new_tokens=6,
+                  temperature=0.7, top_p=1e-6) for i in range(2)]
+    out = _spec_engine(target, draft).run(rs)
+    assert out == ref
+
+
+def test_topk_sampling_smoke_in_spec_mode(target, draft):
+    cfg, _, _ = target
+    rs = [Request(uid=i, prompt=[2 + i, 7], max_new_tokens=8,
+                  temperature=0.8, top_k=5) for i in range(2)]
+    out = _spec_engine(target, draft).run(rs)
+    assert all(len(v) == 8 for v in out.values())
+    assert all(0 <= t < cfg.vocab_size for v in out.values() for t in v)
+
+
+def _spec_engine_rpd(target, draft, rpd, k=4):
+    cfg, params, scfg = target
+    _, dparams, dscfg = draft
+    return ServingEngine(params, scfg, n_slots=2, max_seq=96,
+                         chunk_size=8, use_paged=True, page_size=8,
+                         draft_params=dparams, draft_cfg=dscfg, k_spec=k,
+                         spec_rounds_per_dispatch=rpd)
+
+
+@pytest.mark.parametrize("rpd", [2, 3])
+def test_multiround_spec_matches_plain(target, draft, rpd):
+    """spec_rounds_per_dispatch chains R rounds in one dispatch; greedy
+    outputs must still match the plain engine token-for-token."""
+    ref = _plain_engine(target).run(_reqs())
+    out = _spec_engine_rpd(target, draft, rpd).run(_reqs())
+    assert out == ref
+
+
+def test_multiround_budget_and_cycling(target, draft):
+    out = _spec_engine_rpd(target, draft, 2).run(_reqs(n=5, new=7))
+    ref = _plain_engine(target).run(_reqs(n=5, new=7))
+    assert out == ref
+
+
+def test_multiround_window_edge(target, draft):
+    """Long budget with multi-round dispatches: the R*(K+1) reserve must
+    keep every verify write inside the window (no early truncation)."""
+    rs = [Request(uid=0, prompt=[2, 7, 11, 5], max_new_tokens=60)]
+    ref = _plain_engine(target).run([Request(**vars(r)) for r in rs])
+    out = _spec_engine_rpd(target, draft, 2).run(
+        [Request(**vars(r)) for r in rs])
+    assert len(ref[0]) == 60
+    assert out == ref
 
 
 def test_moe_target_speculation_matches_plain(target, draft):

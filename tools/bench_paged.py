@@ -41,14 +41,14 @@ key = jax.random.key(0)
 
 def measure(decode, cache):
     toks, cache = decode(params, cache, tokens, pos0, key, temp, STEPS,
-                         scfg)
+                         scfg, greedy_only=True)
     np.asarray(toks).sum()
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(DEPTH):
             toks, cache = decode(params, cache, tokens, pos0, key, temp,
-                                 STEPS, scfg)
+                                 STEPS, scfg, greedy_only=True)
         np.asarray(toks).sum()
         best = min(best, time.perf_counter() - t0)
     return B * STEPS * DEPTH / best
@@ -61,16 +61,32 @@ ring_tok = measure(decode_steps, ring)
 del ring
 
 mp = S // PAGE
-paged = PagedKVCache.create(B * mp, PAGE, CFG.n_layers, B, mp,
+
+
+def fresh_paged():
+    p = PagedKVCache.create(B * mp, PAGE, CFG.n_layers, B, mp,
                             CFG.n_kv_heads, CFG.head_dim, "int8")
-for b in range(B):
-    paged = paged.assign_pages(b, jnp.arange(mp), jnp.arange(mp) + b * mp)
-paged_tok = measure(decode_steps_paged, paged)
+    for b in range(B):
+        p = p.assign_pages(b, jnp.arange(mp), jnp.arange(mp) + b * mp)
+    return p
+
+
+# A/B the two paged chunk strategies (ServeConfig.paged_decode_impl):
+# "scatter" writes fresh K/V into the chunk snapshot (one attention pass,
+# the r4 default); "side" re-scores a growing side buffer every step
+# (the r3 behavior that trailed the ring by 1.27x).
+paged_tok = measure(decode_steps_paged, fresh_paged())
+side_cfg = dataclasses.replace(scfg, paged_decode_impl="side")
+_saved = scfg
+scfg = side_cfg
+paged_side_tok = measure(decode_steps_paged, fresh_paged())
+scfg = _saved
 
 ratio = ring_tok / paged_tok
-print(f"ring:  {ring_tok:.0f} tok/s")
-print(f"paged: {paged_tok:.0f} tok/s  (ring is {ratio:.2f}x faster; the "
-      f"paged path gathers its snapshot once per chunk)")
+print(f"ring:          {ring_tok:.0f} tok/s")
+print(f"paged scatter: {paged_tok:.0f} tok/s  (ring/paged {ratio:.2f}x)")
+print(f"paged side:    {paged_side_tok:.0f} tok/s  "
+      f"(ring/side {ring_tok/paged_side_tok:.2f}x)")
 
 prev = {}
 if os.path.exists(OUT):
@@ -78,6 +94,7 @@ if os.path.exists(OUT):
         prev = json.load(f)
 prev["paged"] = {"model": "1B-class d2048 L12", "ring_tok_s":
                  round(ring_tok, 1), "paged_tok_s": round(paged_tok, 1),
+                 "paged_side_tok_s": round(paged_side_tok, 1),
                  "ring_over_paged": round(ratio, 3)}
 with open(OUT, "w") as f:
     json.dump(prev, f, indent=1)
