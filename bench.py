@@ -129,6 +129,9 @@ def _extras():
     out = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for name, key in (("ACCURACY.json", "accuracy"),
+                      ("ACCURACY_BUDGET.json", "accuracy_budget"),
+                      ("ACCURACY_CODE.json", "accuracy_code"),
+                      ("ACCURACY_XL.json", "accuracy_xl"),
                       ("PERF_EXTRAS.json", "perf")):
         path = os.path.join(here, name)
         if os.path.exists(path):
@@ -137,6 +140,19 @@ def _extras():
                     out[key] = json.load(f)
             except Exception:
                 pass
+    # DIFFREF.json: summary counters only (the full file carries
+    # per-mode example tables)
+    path = os.path.join(here, "DIFFREF.json")
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            out["diffref"] = {k: d[k] for k in (
+                "bitwise_total_mismatches",
+                "cast_stochastic_ref_violations",
+                "cast_stochastic_ours_violations") if k in d}
+        except Exception:
+            pass
     return out
 
 

@@ -31,8 +31,13 @@ from fp8tpu.utils import MetricLogger, save_checkpoint, restore_checkpoint
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--training-algo", default="hybrid",
-                   choices=["direct", "hybrid", "bfloat16"])
+    # hybrid-scaled (e4m3 per-tensor fwd + per-tensor-scaled e5m2-SR
+    # bwd) is the recipe that reaches bf16 parity at 83M (+0.008 nats,
+    # ACCURACY.json direct_recipe); plain hybrid/direct share an
+    # unscaled backward stream that costs ~0.086 nats at that scale.
+    p.add_argument("--training-algo", default="hybrid-scaled",
+                   choices=["direct", "direct-scaled", "hybrid",
+                            "hybrid-scaled", "bfloat16"])
     p.add_argument("--master-fmt", default="fp16",
                    choices=["fp32", "fp16", "e5m2"])
     p.add_argument("--emb-fmt", default=None,
