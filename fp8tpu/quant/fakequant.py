@@ -111,12 +111,19 @@ def _quantize_impl(x: jax.Array, cfg: TensorQuantConfig,
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
 def fake_quant(x: jax.Array, cfg: TensorQuantConfig,
                key: Optional[jax.Array] = None) -> jax.Array:
-    """Fake-quantize ``x`` per ``cfg``; gradient is straight-through."""
-    return _quantize_impl(x, cfg, key)
+    """Fake-quantize ``x`` per ``cfg``; gradient is straight-through.
+
+    Output dtype == input dtype, matching the reference cast op (an
+    in-place op on the caller's tensor, pytquant/cpp/fpemu.py:43-66):
+    fp8-grid values are exactly representable in bf16/f32 alike, and a
+    dtype-changing cast would leak f32 into bf16 graphs whose backward
+    muls then fail (found by the gemm-only policy, whose surrounding
+    streams stay bf16)."""
+    return _quantize_impl(x, cfg, key).astype(x.dtype)
 
 
 def _fq_fwd(x, cfg, key):
-    return _quantize_impl(x, cfg, key), None
+    return _quantize_impl(x, cfg, key).astype(x.dtype), None
 
 
 def _fq_bwd(cfg, _res, g):
@@ -139,15 +146,17 @@ def _fixed_scale_ste(x, cfg, scale, key):
     if cfg.is_int:
         # scale here is (scale, zero_point) from calibration.
         s, zp = scale
-        return _integer.qdq_int_with_qparams(x, s, zp, bits=cfg.bits)
+        return _integer.qdq_int_with_qparams(
+            x, s, zp, bits=cfg.bits).astype(x.dtype)
     kw = dict(daz=cfg.daz)
     if cfg.is_stochastic:
         kw["key"] = key
-    return _cast.qdq(x, FORMATS[cfg.dtype], cfg.round_mode, scale, **kw)
+    return _cast.qdq(x, FORMATS[cfg.dtype], cfg.round_mode, scale,
+                     **kw).astype(x.dtype)
 
 
 def _fs_fwd(x, cfg, scale, key):
-    return _fixed_scale_ste(x, cfg, scale, key), None
+    return _fixed_scale_ste(x, cfg, scale, key).astype(x.dtype), None
 
 
 def _fs_bwd(cfg, _res, g):

@@ -181,6 +181,35 @@ def hybrid_training_policy(scaled_bwd: bool = False) -> QuantPolicy:
     )
 
 
+def gemm_only_training_policy() -> QuantPolicy:
+    """GEMM-stream-only FP8 training ("hybrid-gemm"): e4m3 per-tensor on
+    dense/conv weights + inputs, per-tensor-scaled e5m2-SR on their
+    gradient streams — and NOTHING else quantized (no LayerNorm
+    streams, no output-activation casts, no eltwise/batch-matmul).
+
+    This is how production FP8 trainers scope quantization (only the
+    matmul operands see fp8; the residual/norm streams stay bf16).  The
+    r4 budget-extension study motivates it: with the reference's
+    everything-on-the-whitelist scoping, EVERY recipe — scaled or not —
+    stops converging around loss ~4.2 at 83M while bf16 trains through
+    (ACCURACY_BUDGET.json), and the role ablation shows even
+    forward-only quantization stalls there, although a PTQ pass over
+    the fully-trained bf16 model costs only +0.17 ppl: the ceiling is
+    an optimization-under-noise effect of casting the norm/residual
+    streams, not an expressiveness limit of fp8 matmuls."""
+    fwd = TensorQuantConfig("e4m3", "rne", "per-tensor", cast_impl="hw")
+    bwd = TensorQuantConfig("e5m2", "stochastic", "per-tensor",
+                            cast_impl="hw")
+    return QuantPolicy(
+        default=ModuleQuantConfig(wt=fwd, iact=fwd, oact=None,
+                                  igrad=None, ograd=bwd, wtgrad=bwd),
+        emb=None,
+        whitelist=(LayerKind.DENSE, LayerKind.CONV),
+        is_training=True,
+        name="hybrid-gemm",
+    )
+
+
 def e4m3_inference_policy(calibrated: bool = True) -> QuantPolicy:
     """E4M3 PTQ: per-channel weights, per-tensor activations, outputs
     unquantized (e4m3_emu.py:46-49, 175-185)."""
@@ -278,6 +307,8 @@ def get_policy(dtype: str, training: bool = False) -> QuantPolicy:
             p = hybrid_training_policy()
             return dataclasses.replace(p, default=p.default.replace(
                 igrad=None, ograd=None), name="hybrid-no-actgrad")
+        if d in ("hybrid-gemm", "gemm-only", "te"):
+            return gemm_only_training_policy()
         if d in ("bfloat16", "bf16"):
             return bfloat16_policy()
         raise ValueError(f"unsupported training algo {dtype!r}")
