@@ -31,13 +31,15 @@ from fp8tpu.utils import MetricLogger, save_checkpoint, restore_checkpoint
 
 def main():
     p = argparse.ArgumentParser()
-    # hybrid-scaled (e4m3 per-tensor fwd + per-tensor-scaled e5m2-SR
-    # bwd) is the recipe that reaches bf16 parity at 83M (+0.008 nats,
-    # ACCURACY.json direct_recipe); plain hybrid/direct share an
-    # unscaled backward stream that costs ~0.086 nats at that scale.
-    p.add_argument("--training-algo", default="hybrid-scaled",
+    # hybrid-gemm (fp8 on dense/conv GEMM streams only — production
+    # scoping) is the recommended recipe: at 83M it matches bf16 at
+    # equal short budgets and BEATS it at 2x budget (17.2 vs 24.7 ppl;
+    # ACCURACY_BUDGET.json gemm_recipe_6000).  The reference-faithful
+    # whole-whitelist recipes (hybrid/direct, scaled or not) plateau
+    # ~+0.07 nats and stop converging where bf16 keeps descending.
+    p.add_argument("--training-algo", default="hybrid-gemm",
                    choices=["direct", "direct-scaled", "hybrid",
-                            "hybrid-scaled", "bfloat16"])
+                            "hybrid-scaled", "hybrid-gemm", "bfloat16"])
     p.add_argument("--master-fmt", default="fp16",
                    choices=["fp32", "fp16", "e5m2"])
     p.add_argument("--emb-fmt", default=None,

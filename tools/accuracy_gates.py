@@ -291,8 +291,13 @@ def lm_gates(steps, batch, lr, results, model_name="small",
     # bwd: the r4 83M ablation found the shared UNSCALED backward stream
     # was the entire ~0.086-nats gap (hybrid == direct because they share
     # it); scaling the backward closes it to +0.008 nats — gate PASS.
+    # hybrid-gemm = production scoping (GEMM streams only).  The r4 83M
+    # budget study: whole-whitelist recipes (reference hook scoping)
+    # plateau +0.07 nats pre-transition and FAIL the corpus's 3000-6000
+    # phase transition; hybrid-gemm crosses it and BEATS bf16 at 6000
+    # steps (17.2 vs 24.7 ppl, ACCURACY_BUDGET.json gemm_recipe_6000).
     results["lm"]["training"] = {"bf16_ppl": round(base, 4)}
-    for algo in ("hybrid", "direct", "hybrid-scaled"):
+    for algo in ("hybrid", "direct", "hybrid-gemm"):
         t0 = time.time()
         tp = train_fp8(model, variables, train_toks, steps, lr, batch,
                        algo)
