@@ -239,8 +239,8 @@ class ServingEngine:
                 f"request {req.uid}: max_new_tokens="
                 f"{req.max_new_tokens} does not fit max_seq="
                 f"{self.max_seq}"
-                + (f" with the k_spec+1={reserve} verify reserve"
-                   if reserve else "")
+                + (f" with the rounds*(k_spec+1)={reserve} verify "
+                   "reserve" if reserve else "")
                 + f"; the engine can serve at most "
                   f"{self.max_seq - 2 - reserve} new tokens per request")
         if self.use_paged:

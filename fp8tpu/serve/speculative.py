@@ -391,11 +391,14 @@ def filter_logits(logits: jax.Array, top_k, top_p) -> jax.Array:
     everything outside the kept set is masked to ``_NEG``.  Mirrors
     :func:`fp8tpu.serve.model.sample_tokens`'s candidate-pool semantics
     (k clamped to the pool; ``top_k <= 0`` / ``top_p >= 1`` disable),
-    expressed as a value threshold so the full-vocab row can be masked
-    without a scatter.  Applying the SAME filter to target and draft
-    distributions keeps the rejection rule lossless with respect to the
-    filtered target law — this is what lets speculation serve top-k /
-    top-p requests instead of rejecting them (VERDICT r3 next #3)."""
+    using the kept POOL INDICES (scattered back over the vocab row), so
+    the keep-set is exactly the candidate set ``sample_tokens`` samples
+    from — a value threshold would keep every token TIED with the k-th
+    value, a superset the plain engine can never emit from (tied bf16
+    logits are realistic).  Applying the SAME filter to target and
+    draft distributions keeps the rejection rule lossless with respect
+    to the filtered target law — this is what lets speculation serve
+    top-k / top-p requests instead of rejecting them (VERDICT r3 #3)."""
     from .model import _CANDIDATES
 
     B, T, V = logits.shape
@@ -403,7 +406,7 @@ def filter_logits(logits: jax.Array, top_k, top_p) -> jax.Array:
     flat = logits.reshape(B * T, V)
     tk = jnp.repeat(top_k, T)
     tp = jnp.repeat(top_p, T)
-    vals, _ = jax.lax.top_k(flat, C)                      # (B*T, C) desc
+    vals, idx = jax.lax.top_k(flat, C)                    # (B*T, C) desc
     k_off = tk <= 0
     k = jnp.where(k_off | (tk > C), C, tk)
     keep = jnp.arange(C)[None] < k[:, None]
@@ -413,8 +416,10 @@ def filter_logits(logits: jax.Array, top_k, top_p) -> jax.Array:
     probs = jax.nn.softmax(mvals, axis=-1)
     csum = jnp.cumsum(probs, axis=-1)
     keep &= (csum - probs) < p[:, None]                   # argmax survives
-    thr = jnp.min(jnp.where(keep, vals, jnp.inf), axis=-1)
-    out = jnp.where(flat >= thr[:, None], flat, _NEG)
+    mask = jnp.zeros(flat.shape, bool)
+    rows = jnp.broadcast_to(jnp.arange(B * T)[:, None], idx.shape)
+    mask = mask.at[rows, idx].set(keep, mode="drop")
+    out = jnp.where(mask, flat, _NEG)
     out = jnp.where((k_off & p_off)[:, None], flat, out)
     return out.reshape(B, T, V)
 

@@ -145,10 +145,13 @@ def test_sharded_quantized_forward(decoder_setup):
     ref = f(variables, tokens)
     # Dynamic per-tensor scales depend on reduction order: a 1-ulp absmax
     # difference across shardings shifts the whole cast grid, so outputs
-    # are close but not bit-equal.  Demand strong agreement.
+    # are close but not bit-equal.  Quantized streams stay in the
+    # model's bf16 (fake_quant preserves dtype, like the reference's
+    # in-place cast op), which adds bf16 arithmetic noise on top.
+    # Demand strong agreement.
     o, r = np.asarray(out), np.asarray(ref)
     corr = np.corrcoef(o.ravel(), r.ravel())[0, 1]
-    assert corr > 0.999, corr
+    assert corr > 0.998, corr
     agree = (o.argmax(-1) == r.argmax(-1)).mean()
     assert agree > 0.95, agree
 

@@ -20,7 +20,15 @@ def _loss_fn(apply_fn, params, batch):
         lg, batch[:, 1:]).mean()
 
 
-def test_remat_decoder_bit_identical_train_step():
+def test_remat_decoder_equivalent_train_step():
+    """Remat vs plain train step: same loss, near-identical params.
+
+    Bit-identity held while fake_quant upcast every quantized stream to
+    f32; with dtype-preserving casts (the reference's in-place-op
+    contract) the streams stay bf16, and XLA fuses the rematerialized
+    segment differently than the saved one — recomputed bf16 values can
+    differ by 1 ulp at fusion boundaries.  The loss (f32 reduction)
+    still matches exactly; params agree to bf16 precision."""
     toks = jnp.asarray(
         np.random.default_rng(0).integers(0, 64, (2, 17)), jnp.int32)
     results = {}
@@ -41,6 +49,6 @@ def test_remat_decoder_bit_identical_train_step():
 
     assert results[False][0] == results[True][0]
     jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
-                                                   np.asarray(b)),
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=4e-3),
         results[False][1], results[True][1])

@@ -39,16 +39,17 @@ temp = jnp.zeros((B,), jnp.float32)
 key = jax.random.key(0)
 
 
-def measure(decode, cache):
+def measure(decode, cache, cfg=None):
+    cfg = cfg or scfg
     toks, cache = decode(params, cache, tokens, pos0, key, temp, STEPS,
-                         scfg, greedy_only=True)
+                         cfg, greedy_only=True)
     np.asarray(toks).sum()
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(DEPTH):
             toks, cache = decode(params, cache, tokens, pos0, key, temp,
-                                 STEPS, scfg, greedy_only=True)
+                                 STEPS, cfg, greedy_only=True)
         np.asarray(toks).sum()
         best = min(best, time.perf_counter() - t0)
     return B * STEPS * DEPTH / best
@@ -77,10 +78,7 @@ def fresh_paged():
 # (the r3 behavior that trailed the ring by 1.27x).
 paged_tok = measure(decode_steps_paged, fresh_paged())
 side_cfg = dataclasses.replace(scfg, paged_decode_impl="side")
-_saved = scfg
-scfg = side_cfg
-paged_side_tok = measure(decode_steps_paged, fresh_paged())
-scfg = _saved
+paged_side_tok = measure(decode_steps_paged, fresh_paged(), cfg=side_cfg)
 
 ratio = ring_tok / paged_tok
 print(f"ring:          {ring_tok:.0f} tok/s")

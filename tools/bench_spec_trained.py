@@ -51,9 +51,12 @@ def get_target():
     variables = model.init(jax.random.key(1),
                            jnp.zeros((1, 8), jnp.int32))
     ckpt = os.path.join(ROOT, f".cache_accuracy_large_lr{1e-3:g}_clip")
+    # save_checkpoint wraps its arg as state={"params": arg}; the gates
+    # cache stores the full variables tree, so template nests twice
+    # (same call shape as accuracy_gates._trained_baseline).
     trained = restore_checkpoint(ckpt, m["default_steps"],
-                                 variables)["state"]["params"]
-    return cfg, {"params": trained}, m
+                                 {"params": variables})["state"]["params"]
+    return cfg, trained, m
 
 
 def get_draft(m, steps=1500, lr=3e-3, batch=32):
@@ -73,10 +76,10 @@ def get_draft(m, steps=1500, lr=3e-3, batch=32):
                            jnp.asarray(toks[:1, :-1]))
     ckpt = os.path.join(ROOT, ".cache_spec_draft")
     try:
-        trained = restore_checkpoint(ckpt, steps,
-                                     variables)["state"]["params"]
+        trained = restore_checkpoint(
+            ckpt, steps, {"params": variables})["state"]["params"]
         print("[draft] reusing cached draft")
-        return dcfg, {"params": trained}
+        return dcfg, trained
     except Exception:
         pass
     opt = optax.chain(optax.clip_by_global_norm(1.0),
