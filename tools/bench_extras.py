@@ -176,11 +176,18 @@ def cast_bandwidth():
     x = jax.random.normal(jax.random.key(0), (n // 1024, 1024), jnp.float32)
 
     def scan_bench(body):
+        # optimization_barrier per step: without it XLA unrolls the
+        # static-length scan and fuses ALL elementwise steps into ONE
+        # HBM pass (measured "4.4 TB/s casts" — apparent bandwidth x
+        # steps).  The barrier forces each step to materialize, so GB/s
+        # is a true per-pass read+write number.  (The matmul bench needs
+        # no barrier: dots cannot fuse across steps.)
         def make(length):
             @partial(jax.jit, static_argnames="n")
             def run(x, n):
-                c, _ = jax.lax.scan(lambda c, _: (body(c), ()), x, None,
-                                    length=n)
+                def step(c, _):
+                    return jax.lax.optimization_barrier(body(c)), ()
+                c, _ = jax.lax.scan(step, x, None, length=n)
                 return jnp.sum(c)
             return lambda: float(run(x, length))
         t, _ = _per_step(make)
