@@ -1203,7 +1203,7 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
     return outs, paged, ftoks, fpos
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps"),
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "greedy_only"),
          donate_argnames=("paged",))
 def decode_steps_paged(params: Dict, paged: PagedKVCache,
                        tokens: jax.Array, positions: jax.Array,
