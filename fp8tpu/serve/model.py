@@ -80,14 +80,17 @@ class ServeConfig:
     # inserts a layout/copy before every aliased custom call (1 GB ring
     # copied per step); kept for layouts where XLA's DUS copies instead.
     staging_impl: str = "auto"
-    # Paged-decode chunk strategy.  "scatter" (default) writes each
-    # step's fresh quantized K/V into the chunk-frozen page snapshot
-    # (ring-style in-place carry update), so attention is ONE pass over
-    # the snapshot — no side buffer.  "side" keeps the r3 behavior:
-    # fresh tokens accumulate in a W-row side buffer re-scored against
-    # every new query (W = chunk length — the extra reads that left the
-    # paged path 1.27x behind the ring, VERDICT r3 weak #6).
-    paged_decode_impl: str = "scatter"
+    # Paged-decode chunk strategy, A/B-measured at the 1B bench shape
+    # (tools/bench_paged.py): "side" (default) accumulates the chunk's
+    # fresh tokens in a W-row side buffer re-scored against every new
+    # query; "scatter" writes each step's fresh quantized K/V into the
+    # chunk-frozen page snapshot so attention is one pass.  Scatter
+    # looked like the win on paper (kills the side re-reads that grow
+    # with chunk length) but MEASURES 1.4x slower at scale: the
+    # per-step dynamic-update into the ~200 MB gathered snapshot carry
+    # RMWs far more bytes than the side re-reads it saves.  ring/side
+    # = 1.28x, ring/scatter = 1.76x (PERF_EXTRAS "paged").
+    paged_decode_impl: str = "side"
 
 
 def _use_pallas_store(cfg: "ServeConfig") -> bool:

@@ -172,7 +172,11 @@ def cast_bandwidth():
     from fp8tpu.quant.config import TensorQuantConfig
     from fp8tpu.quant.fakequant import fake_quant
 
-    n = 64 * 1024 * 1024 // 4  # 64 MB of f32
+    # 256 MB of f32 — 2x v5e VMEM (128 MB): a 64 MB carry FITS in VMEM
+    # and XLA keeps it resident across scan steps (measured "4.7 TB/s"
+    # = VMEM bandwidth, not HBM); the working set must exceed VMEM for
+    # GB/s to mean HBM read+write.
+    n = 256 * 1024 * 1024 // 4
     x = jax.random.normal(jax.random.key(0), (n // 1024, 1024), jnp.float32)
 
     def scan_bench(body):
