@@ -72,6 +72,13 @@ class QuantPolicy:
     exempt_layers: Tuple[str, ...] = ()       # glob patterns on module path
     output_fused_layers: Tuple[str, ...] = ()  # ditto
     overrides: Tuple[Tuple[str, Optional[ModuleQuantConfig]], ...] = ()
+    # Kinds whose ACTIVATION-GRADIENT streams (igrad/ograd) stay
+    # unquantized while everything else follows the default.  The r4 role
+    # ablation + budget study localized the late-phase training stall to
+    # the norm/residual activation-grad casts; this field expresses the
+    # direct causal test (hybrid everywhere EXCEPT those streams) without
+    # changing the whitelist.
+    actgrad_exempt_kinds: Tuple[LayerKind, ...] = ()
     is_training: bool = False
     name: str = "custom"
 
@@ -122,6 +129,8 @@ class QuantPolicy:
                                   ograd=None)
             elif not kind.has_weight:
                 cfg = cfg.replace(wt=None, wtgrad=None)
+            if kind in self.actgrad_exempt_kinds:
+                cfg = cfg.replace(igrad=None, ograd=None)
 
         for pattern, override in self.overrides:
             if fnmatch.fnmatch(path, pattern):
@@ -307,6 +316,21 @@ def get_policy(dtype: str, training: bool = False) -> QuantPolicy:
             p = hybrid_training_policy()
             return dataclasses.replace(p, default=p.default.replace(
                 igrad=None, ograd=None), name="hybrid-no-actgrad")
+        if d == "hybrid-no-normres":
+            # The mechanism cell (VERDICT r4 next #9): keep the reference's
+            # whole-whitelist hybrid scoping on every stream EXCEPT the
+            # norm/residual/aggregate activation-gradient casts.  If this
+            # recipe crosses the synthetic corpus's 3000-6000 phase
+            # transition like hybrid-gemm does, the role-ablation reading
+            # ("quantized norm/residual grad streams block late-phase
+            # optimization") is demonstrated causally, not just scoped
+            # around.
+            p = hybrid_training_policy()
+            return dataclasses.replace(
+                p, actgrad_exempt_kinds=(LayerKind.LAYERNORM,
+                                         LayerKind.ELTWISE,
+                                         LayerKind.NORM_OP),
+                name="hybrid-no-normres")
         if d in ("hybrid-gemm", "gemm-only", "te"):
             return gemm_only_training_policy()
         if d in ("bfloat16", "bf16"):

@@ -119,3 +119,22 @@ def test_policy_hashable():
     p = e3m4_inference_policy().with_exempt("a").with_override(
         "b", None)
     hash(p)
+
+
+def test_hybrid_no_normres_exempts_actgrads_by_kind():
+    """The r5 mechanism recipe: whole-whitelist hybrid EXCEPT the
+    norm/residual/aggregate activation-gradient streams (VERDICT r4
+    next #9 — the causal test of the role-ablation reading)."""
+    p = get_policy("hybrid-no-normres", training=True)
+    assert p.name == "hybrid-no-normres"
+    # norm/residual kinds: forward casts stay, activation grads dropped
+    for kind in (LayerKind.LAYERNORM, LayerKind.ELTWISE):
+        c = p.resolve(f"x_{kind.value}", kind)
+        assert c.iact is not None
+        assert c.igrad is None and c.ograd is None
+    # dense/conv keep the full hybrid recipe including grads
+    for kind in (LayerKind.DENSE, LayerKind.CONV):
+        c = p.resolve(f"x_{kind.value}", kind)
+        assert c.igrad is not None and c.ograd is not None
+        assert c.wt.dtype == "e4m3" and c.igrad.dtype == "e5m2"
+    hash(p)

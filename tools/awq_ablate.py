@@ -2,9 +2,11 @@
 """AWQ ablation: does activation-aware equalization (quant/awq.py) move
 the real-quantized serving artifact's ΔPPL?
 
-Loads the accuracy-gates trained checkpoint (run tools/accuracy_gates.py
-first — this tool refuses to train), equalizes with
-``awq_calibrate_decoder`` on training-corpus calibration batches, and
+Loads the accuracy-gates trained checkpoint if cached, otherwise trains
+it through the same ``_trained_baseline`` path (the r4 run died here: a
+fresh container had no checkpoint and the tool refused to train, so the
+promised artifact never landed).  Then equalizes with
+``awq_calibrate_decoder`` on training-corpus calibration batches and
 compares each serving format's ΔPPL vs the bf16 serving twin with and
 without AWQ.  Merges results into ACCURACY.json["awq"].
 
@@ -25,11 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-from accuracy_gates import MODELS, OUT, _build_lm, ppl_of
+from accuracy_gates import (MODELS, OUT, _build_lm, _trained_baseline,
+                            ppl_of)
 from fp8tpu.quant import awq_calibrate_decoder
 from fp8tpu.serve import ServeConfig, convert_decoder_params
 from fp8tpu.serve.model import full_logits
-from fp8tpu.utils.checkpoint import restore_checkpoint
 
 
 def serve_ppl(sparams, cfg, fmt, kv, int4_group, eval_toks):
@@ -58,11 +60,11 @@ def main():
     cfg, model, train_toks, eval_toks = _build_lm(args.model)
     variables = model.init(jax.random.key(1),
                            jnp.asarray(train_toks[:1, :-1]))
-    ckpt_dir = os.path.join(os.path.dirname(__file__), "..",
-                            f".cache_accuracy_{args.model}_lr{lr:g}_clip")
-    trained = restore_checkpoint(
-        ckpt_dir, steps, {"params": variables})["state"]["params"]
-    print(f"[awq] loaded trained {args.model} from {ckpt_dir}")
+    os.environ.setdefault("ACC_REUSE", "1")
+    trained = _trained_baseline(args.model, model, variables, train_toks,
+                                steps, lr, batch=32)
+    print(f"[awq] trained {args.model} baseline ready "
+          f"(steps={steps}, lr={lr:g})")
 
     calib = jnp.asarray(train_toks[:8 * args.calib_batches, :-1])
     out = {"model": args.model, "calib_batches": args.calib_batches,

@@ -166,20 +166,35 @@ def cast_bandwidth():
     """Cast kernel GB/s (read f32 + write f32), steady-state per-step
     timing (_per_step — the tunnel dispatch latency cancels; r3's
     single-length numbers were latency-bound at ~70 GB/s for EVERY
-    elementwise kernel including a bare multiply)."""
+    elementwise kernel including a bare multiply).
+
+    Two working sets (VERDICT r4 next #7): 64 MB FITS v5e's 128 MB VMEM,
+    so XLA keeps the scan carry resident and the numbers are VMEM-window
+    throughput; 256 MB (2x VMEM) forces every step through HBM, so those
+    numbers are true HBM read+write GB/s.  The cast-cost question is
+    answered the same way in both windows by the RATIO vs a bare
+    elementwise multiply on the same harness."""
     from fp8tpu.kernels import pallas_qdq
     from fp8tpu.numerics.formats import RoundMode
     from fp8tpu.quant.config import TensorQuantConfig
     from fp8tpu.quant.fakequant import fake_quant
 
-    # 256 MB of f32 — 2x v5e VMEM (128 MB): a 64 MB carry FITS in VMEM
-    # and XLA keeps it resident across scan steps (measured "4.7 TB/s"
-    # = VMEM bandwidth, not HBM); the working set must exceed VMEM for
-    # GB/s to mean HBM read+write.
-    n = 256 * 1024 * 1024 // 4
-    x = jax.random.normal(jax.random.key(0), (n // 1024, 1024), jnp.float32)
+    cfg = TensorQuantConfig("e4m3", "rne", cast_impl="hw")
+    bodies = {
+        "cast_e4m3_rne": lambda c: pallas_qdq(
+            c * jnp.float32(1.0001), fmt="e4m3", mode=RoundMode.RNE),
+        # the production-speed path: hardware-dtype cast (cast_impl='hw')
+        "cast_e4m3_hw": lambda c: fake_quant(c * jnp.float32(1.0001), cfg),
+        # Achievable-bandwidth references on the SAME harness: a bare
+        # elementwise multiply (the r/w ceiling any qdq variant can
+        # reach under this scan) and a bf16 round-trip (one native
+        # convert pair).
+        "elementwise_mul": lambda c: c * jnp.float32(1.0001),
+        "bf16_roundtrip": lambda c: (c * jnp.float32(1.0001)).astype(
+            jnp.bfloat16).astype(jnp.float32),
+    }
 
-    def scan_bench(body):
+    def scan_bench(body, x):
         # optimization_barrier per step: without it XLA unrolls the
         # static-length scan and fuses ALL elementwise steps into ONE
         # HBM pass (measured "4.4 TB/s casts" — apparent bandwidth x
@@ -197,27 +212,23 @@ def cast_bandwidth():
         t, _ = _per_step(make)
         return round(2 * x.nbytes / t / 1e9, 1)
 
-    cfg = TensorQuantConfig("e4m3", "rne", cast_impl="hw")
-    out = {
-        "cast_e4m3_rne_gbps": scan_bench(
-            lambda c: pallas_qdq(c * jnp.float32(1.0001), fmt="e4m3",
-                                 mode=RoundMode.RNE)),
-        # the production-speed path: hardware-dtype cast (cast_impl='hw')
-        "cast_e4m3_hw_gbps": scan_bench(
-            lambda c: fake_quant(c * jnp.float32(1.0001), cfg)),
-        # Achievable-bandwidth references on the SAME harness: a bare
-        # elementwise multiply (the r/w ceiling any qdq variant can
-        # reach under this scan) and a bf16 round-trip (one native
-        # convert pair).
-        "elementwise_mul_gbps": scan_bench(
-            lambda c: c * jnp.float32(1.0001)),
-        "bf16_roundtrip_gbps": scan_bench(
-            lambda c: (c * jnp.float32(1.0001)).astype(
-                jnp.bfloat16).astype(jnp.float32)),
-    }
-    for k in ("cast_e4m3_rne_gbps", "cast_e4m3_hw_gbps"):
-        out[k.replace("_gbps", "_vs_ceiling")] = round(
-            out[k] / out["elementwise_mul_gbps"], 3)
+    out = {}
+    for mb, tag in ((64, "vmem"), (256, "hbm")):
+        n = mb * 1024 * 1024 // 4
+        x = jax.random.normal(jax.random.key(0), (n // 1024, 1024),
+                              jnp.float32)
+        sub = {f"{name}_{tag}_gbps": scan_bench(body, x)
+               for name, body in bodies.items()}
+        for name in ("cast_e4m3_rne", "cast_e4m3_hw"):
+            sub[f"{name}_{tag}_vs_ceiling"] = round(
+                sub[f"{name}_{tag}_gbps"]
+                / sub[f"elementwise_mul_{tag}_gbps"], 3)
+        out[f"working_set_{tag}_mb"] = mb
+        out.update(sub)
+        del x
+    # legacy aliases (r4 keys; those runs used the 64 MB carry)
+    out["cast_e4m3_hw_gbps"] = out["cast_e4m3_hw_vmem_gbps"]
+    out["cast_e4m3_hw_vs_ceiling"] = out["cast_e4m3_hw_vmem_vs_ceiling"]
     return out
 
 

