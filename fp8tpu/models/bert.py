@@ -79,7 +79,9 @@ class BertLayer(nn.Module):
         x = EltwiseAdd(name="attn_residual_add")(x, attn)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attn_norm")(x)
         h = nn.Dense(cfg.d_ff, dtype=dt, name="intermediate")(x)
-        h = nn.gelu(h)
+        # exact (erf) gelu — HF BERT's "gelu" act; flax's default tanh
+        # approximation diverges ~1e-3 from real checkpoints
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.d_model, dtype=dt, name="output")(h)
         x = EltwiseAdd(name="ffn_residual_add")(x, h)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ffn_norm")(x)

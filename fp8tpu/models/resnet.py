@@ -48,12 +48,17 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         res = x
+        # explicit pad 1 (not SAME): torchvision pads stride-2 3x3 convs
+        # symmetrically; SAME pads (0,1) on even inputs — same output
+        # shape, shifted taps, so real checkpoints would diverge
         y = nn.Conv(self.features, (3, 3), (self.strides,) * 2,
+                    padding=[(1, 1), (1, 1)],
                     use_bias=False, name="conv1")(x)
         y = SwitchableNorm(self.features, self.norm_mode, name="norm1")(
             y, use_running_average=not train)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), use_bias=False, name="conv2")(y)
+        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, name="conv2")(y)
         y = SwitchableNorm(self.features, self.norm_mode, name="norm2")(
             y, use_running_average=not train)
         if res.shape != y.shape:
@@ -81,6 +86,7 @@ class Bottleneck(nn.Module):
             y, use_running_average=not train)
         y = nn.relu(y)
         y = nn.Conv(inner, (3, 3), (self.strides,) * 2,
+                    padding=[(1, 1), (1, 1)],
                     feature_group_count=self.groups,
                     use_bias=False, name="conv2")(y)
         y = SwitchableNorm(inner, self.norm_mode, name="norm2")(

@@ -81,16 +81,24 @@ class ServeConfig:
     # copied per step); kept for layouts where XLA's DUS copies instead.
     staging_impl: str = "auto"
     # Paged-decode chunk strategy, A/B-measured at the 1B bench shape
-    # (tools/bench_paged.py): "side" (default) accumulates the chunk's
-    # fresh tokens in a W-row side buffer re-scored against every new
-    # query; "scatter" writes each step's fresh quantized K/V into the
-    # chunk-frozen page snapshot so attention is one pass.  Scatter
-    # looked like the win on paper (kills the side re-reads that grow
-    # with chunk length) but MEASURES 1.4x slower at scale: the
-    # per-step dynamic-update into the ~200 MB gathered snapshot carry
-    # RMWs far more bytes than the side re-reads it saves.  ring/side
-    # = 1.28x, ring/scatter = 1.76x (PERF_EXTRAS "paged").
-    paged_decode_impl: str = "side"
+    # (tools/bench_paged.py, PERF_EXTRAS "paged").  "ringview"
+    # (default): gather the chunk snapshot directly into the RING
+    # layout and run the literal ring attention einsum — the r5 profile
+    # showed the old (B, MP, ...) snapshot's per-layer slice never
+    # fused into the paged einsum (24 us x L x step), and fixing the
+    # layout closed the premium from 1.27x to 1.07x over the ring.
+    # Alternatives, kept for A/B: "side" = the r4 snapshot layout with
+    # deferred pool writes (1.27x); "side-eager" = r4 per-step pool
+    # writes (1.27x — the scatter was never the cost); "scatter" =
+    # write fresh K/V into the snapshot each step (1.76x: the per-step
+    # update into the ~200 MB carry RMWs more than it saves);
+    # "kernel" = the Pallas in-kernel page-table walk
+    # (kernels/paged_attention.py) — measured 1.83x: with one query
+    # row per slot the score/context dots use ~16/128 MXU columns, so
+    # the kernel is compute-bound below the XLA einsum, and ~L x steps
+    # pallas dispatches add fixed cost.  It remains the reference
+    # implementation for hardware with narrower-tile MXUs.
+    paged_decode_impl: str = "ringview"
 
 
 def _use_pallas_store(cfg: "ServeConfig") -> bool:
@@ -437,7 +445,8 @@ def _ffn_block(h, xs, mcfg: DecoderConfig, linear):
 
 def _attend_ring(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs, head, lens,
                  cfg: DecoderConfig,
-                 sk8=None, sks=None, sv8=None, svs=None, w=None):
+                 sk8=None, sks=None, sv8=None, svs=None, w=None,
+                 valid_mask=None):
     """Flash-style decode attention: ring-cached prefix + fresh token.
 
     q: (B,H,D) bf16 (the 1/sqrt(D) factor is applied here);
@@ -463,9 +472,15 @@ def _attend_ring(q, kq8, kqs, vq8, vqs, k8, ks, v8, vs, head, lens,
         "xgd,sxd->xgs", qf, k8.astype(q.dtype),
         preferred_element_type=jnp.float32,
     ).reshape(B, KV, G, S) * ks.T.reshape(B, KV, 1, S)
-    # Ring validity: row s holds a token (head - 1 - s) mod S steps old.
-    age = jnp.mod(head - 1 - jnp.arange(S), S)              # (S,)
-    mask = age[None, :] < lens[:, None]                     # (B, S)
+    if valid_mask is None:
+        # Ring validity: row s holds a token (head - 1 - s) mod S
+        # steps old.
+        age = jnp.mod(head - 1 - jnp.arange(S), S)          # (S,)
+        mask = age[None, :] < lens[:, None]                 # (B, S)
+    else:
+        # caller-supplied validity (the paged ring-view path: rows are
+        # logically ordered, row s valid iff s < lens[b])
+        mask = valid_mask
     scores = jnp.where(mask[:, None, None, :], scores, _NEG)
 
     score_self = jnp.einsum(
@@ -1066,6 +1081,75 @@ def _attend_paged(q, kq8, kqs, vq8, vqs, kp8, kps, vp8, vps, lens,
     return ctx.reshape(B, H * D).astype(q.dtype)
 
 
+def _attend_paged_kernel(q, kq8, kqs, vq8, vqs, paged: PagedKVCache,
+                         li, lens, cfg: DecoderConfig,
+                         sk8=None, sks=None, sv8=None, svs=None, w=None):
+    """Decode attention with the Pallas page-walk kernel for the pooled
+    prefix (kernels/paged_attention.py — no snapshot is ever
+    materialized; pages stream HBM→VMEM inside the kernel) plus the
+    fresh token and the chunk's side buffer computed here.  The three
+    parts produce unnormalized flash partials over DISJOINT key sets, so
+    merging them (rescale by exp(m_part - m_tot), then one divide) is
+    exact."""
+    from fp8tpu.kernels.paged_attention import paged_decode_attention
+
+    B, H, D = q.shape
+    KV = kq8.shape[1]
+    G = H // KV
+    BK = B * KV
+    qg = (q.astype(jnp.float32)
+          / jnp.sqrt(D).astype(jnp.float32)).astype(q.dtype)
+    qh = qg.reshape(B, KV, G, D)
+
+    # pooled prefix: (B, KVG=KV*G, D) query order must match the
+    # kernel's (kv-major head index h = kv*G + g) — qh reshape does.
+    acc_p, m_p, l_p = paged_decode_attention(
+        qh.reshape(B, KV * G, D), paged.pool, paged.sc, paged.page_table,
+        lens, jnp.reshape(li, (1,)), page_size=paged.page_size,
+        kv_heads=KV, interpret=jax.default_backend() != "tpu")
+    acc_p = acc_p.reshape(B, KV, G, D)
+    m_p = m_p.reshape(B, KV, G)
+    l_p = l_p.reshape(B, KV, G)
+
+    score_self = jnp.einsum(
+        "bkgd,bkd->bkg", qh, kq8.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * kqs[:, :, None]                                  # (B,KV,G)
+
+    if sk8 is not None:
+        W = sk8.shape[0]
+        qf = qh.reshape(BK, G, D)
+        sscores = jnp.einsum(
+            "xgd,sxd->xgs", qf, sk8.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, KV, G, W) * sks.T.reshape(B, KV, 1, W)
+        sscores = jnp.where((jnp.arange(W) < w)[None, None, None],
+                            sscores, _NEG)
+        m = jnp.maximum(jnp.maximum(m_p, jnp.max(sscores, axis=-1)),
+                        score_self)
+    else:
+        m = jnp.maximum(m_p, score_self)
+
+    corr = jnp.exp(m_p - m)                              # (B,KV,G)
+    ps = jnp.exp(score_self - m)
+    l = l_p * corr + ps
+    ctx = acc_p * corr[..., None]
+    ctx = ctx + ((ps * vqs[:, :, None])[..., None]
+                 * vq8.astype(jnp.float32)[:, :, None, :])
+
+    if sk8 is not None:
+        spc = jnp.exp(sscores - m[..., None])
+        l = l + spc.sum(-1)
+        spcs = (spc * svs.T.reshape(B, KV, 1, W)).astype(q.dtype)
+        sctx = jnp.einsum(
+            "xgs,sxd->xgd", spcs.reshape(BK, G, W), sv8.astype(q.dtype),
+            preferred_element_type=jnp.float32).reshape(B, KV, G, D)
+        ctx = ctx + sctx
+
+    ctx = ctx / l[..., None]
+    return ctx.reshape(B, H * D).astype(q.dtype)
+
+
 def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
                       positions: jax.Array, key: jax.Array,
                       temperature: jax.Array, n_steps: int,
@@ -1093,6 +1177,26 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
     page = paged.page_size
     W = n_steps
     scatter = cfg.paged_decode_impl == "scatter"
+    # "kernel": the Pallas page-walk kernel reads the pool IN PLACE (no
+    # snapshot gather at all); fresh tokens ride the side buffer.
+    use_kernel = cfg.paged_decode_impl == "kernel"
+    # "ringview": gather the chunk snapshot directly into the RING
+    # layout (S', 2, L, B*KV, D) and run the literal ring attention
+    # einsum with a position mask.  The r5 profile localized the whole
+    # paged-vs-ring gap to one op: the per-layer slice of the
+    # (B, MP, 2, L, R, D) snapshot does NOT fuse into the paged einsum
+    # (constant_dynamic-slice_fusion, ~24 us x L x steps = 0.36 of the
+    # 0.46 ms/step delta), while the identical slice of the ring layout
+    # fuses into XLA's conv-lowered attention.  Same math, same bytes —
+    # only the snapshot layout changes, once per chunk.
+    ringview = cfg.paged_decode_impl == "ringview"
+    # "side"/"ringview"/"kernel" DEFER the pool writes to one batched
+    # scatter at chunk end: within the chunk every step's attention
+    # covers the fresh tokens via the side buffer, so the pool only
+    # needs to be current for the NEXT chunk — the per-step 4-way
+    # scatter into the pool carry buys nothing inside the chunk.
+    # "side-eager" keeps the r4 per-step write for A/B.
+    defer_writes = cfg.paged_decode_impl in ("side", "kernel", "ringview")
 
     # chunk-frozen snapshot of the mapped pages.  In scatter mode fresh
     # tokens write INTO the snapshot each step (ring-style in-place
@@ -1102,7 +1206,24 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
     # side mode carries the (W, 2, L, BK, D) buffer of the chunk's own
     # tokens instead.  The two impls compile separately (static cfg),
     # each carrying only its own state.
-    kv_pages, sc_pages = paged.gather()
+    if use_kernel:
+        kv_pages, sc_pages = None, None   # the kernel walks the pool
+    elif ringview:
+        kvp, scp = paged.gather()
+        MP = kvp.shape[1]
+        SV = MP * page
+        # (B, MP, 2, L, page*KV, D) → (MP*page, 2, L, B*KV, D): one
+        # fused gather+transpose per chunk (~2x snapshot bytes, /W per
+        # step), after which every per-layer slice and einsum is
+        # bitwise the ring code path.
+        kv_pages = (kvp.reshape(B, MP, 2, L, page, KV, D)
+                    .transpose(1, 4, 2, 3, 0, 5, 6)
+                    .reshape(SV, 2, L, BK, D))
+        sc_pages = (scp.reshape(B, MP, 2, L, page, KV)
+                    .transpose(1, 4, 2, 3, 0, 5)
+                    .reshape(SV, 2, L, BK))
+    else:
+        kv_pages, sc_pages = paged.gather()
     if scatter:
         side8 = None
         side_sc = None
@@ -1166,18 +1287,32 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
             side = dict(sk8=side8[:, 0, li], sks=side_sc[:, 0, li],
                         sv8=side8[:, 1, li], svs=side_sc[:, 1, li],
                         w=w) if not scatter else {}
-            ctx = _attend_paged(
-                q, kq8, kqs[..., 0], vq8, vqs[..., 0],
-                kvp[:, :, 0, li], scp[:, :, 0, li],
-                kvp[:, :, 1, li], scp[:, :, 1, li],
-                lens0, page, mcfg, **side)
+            if use_kernel:
+                ctx = _attend_paged_kernel(
+                    q, kq8, kqs[..., 0], vq8, vqs[..., 0],
+                    paged, li, lens0, mcfg, **side)
+            elif ringview:
+                SV = kvp.shape[0]
+                vmask = jnp.arange(SV)[None] < lens0[:, None]
+                ctx = _attend_ring(
+                    q, kq8, kqs[..., 0], vq8, vqs[..., 0],
+                    kvp[:, 0, li], scp[:, 0, li],
+                    kvp[:, 1, li], scp[:, 1, li],
+                    jnp.int32(0), lens0, mcfg, valid_mask=vmask, **side)
+            else:
+                ctx = _attend_paged(
+                    q, kq8, kqs[..., 0], vq8, vqs[..., 0],
+                    kvp[:, :, 0, li], scp[:, :, 0, li],
+                    kvp[:, :, 1, li], scp[:, :, 1, li],
+                    lens0, page, mcfg, **side)
             h = h + linear(ctx, o8, osw)
             h = _ffn_block(h, xs, mcfg, linear)
             return (h, li + 1), (kq8, kqs[..., 0], vq8, vqs[..., 0])
 
         (h, _), (fk8, fks, fv8, fvs) = jax.lax.scan(
             layer_step, (h, jnp.int32(0)), _layer_xs(params))
-        paged = paged.write_step(fk8, fks, fv8, fvs, pos)
+        if not defer_writes:
+            paged = paged.write_step(fk8, fks, fv8, fvs, pos)
         if scatter:
             kvp, scp = snap_write(kvp, scp, fk8, fks, fv8, fvs, pos)
         else:
@@ -1200,9 +1335,24 @@ def _steps_impl_paged(params: Dict, paged: PagedKVCache, tokens: jax.Array,
 
     keys = jax.random.split(key, n_steps)
     steps = jnp.arange(n_steps, dtype=jnp.int32)
-    (ftoks, fpos, paged, _, _, _, _), outs = jax.lax.scan(
+    (ftoks, fpos, paged, side8, side_sc, _, _), outs = jax.lax.scan(
         one, (tokens, positions, paged, side8, side_sc, kv_pages,
               sc_pages), (steps, keys))
+    if defer_writes:
+        # One batched scatter of the whole chunk's fresh K/V (the side
+        # buffer holds exactly the W steps' quantized rows): W*B indices
+        # in one pass instead of W carry-threaded 4-way scatters.
+        from .speculative import _paged_write_block
+        blk8 = side8.reshape(W, 2, L, B, KV, D)
+        blks = side_sc.reshape(W, 2, L, B, KV)
+        valid = jnp.full((B,), W, jnp.int32)
+        paged = _paged_write_block(
+            paged,
+            blk8[:, 0].transpose(1, 2, 0, 3, 4),   # (L, B, W, KV, D)
+            blks[:, 0].transpose(1, 2, 0, 3),      # (L, B, W, KV)
+            blk8[:, 1].transpose(1, 2, 0, 3, 4),
+            blks[:, 1].transpose(1, 2, 0, 3),
+            positions, valid)
     return outs, paged, ftoks, fpos
 
 

@@ -491,3 +491,78 @@ def test_engine_sideflush_matches_plain(setup):
     sf = ServingEngine(sparams, sf_cfg, n_slots=2, max_seq=64,
                        chunk_size=8).run(reqs())
     assert plain == sf
+
+
+def test_paged_deferred_writes_match_eager(setup):
+    """"side" (deferred chunk-end pool write) must be bit-identical to
+    "side-eager" (the r4 per-step pool scatter) in both the decoded
+    tokens and the resulting pool state: within a chunk the side buffer
+    covers the fresh tokens, so WHEN the pool is written cannot be
+    observable."""
+    import dataclasses
+    from fp8tpu.serve.model import decode_steps_paged
+    cfg, _, _, scfg, sparams = setup
+    B = 2
+    toks0 = jnp.asarray([3, 4], jnp.int32)
+    pos0 = jnp.asarray([5, 2], jnp.int32)   # unaligned per-slot positions
+
+    outs = {}
+    for impl in ("side", "side-eager"):
+        sc = dataclasses.replace(scfg, paged_decode_impl=impl)
+        paged = _paged_pool(cfg)
+        toks, paged = decode_steps_paged(
+            sparams, paged, toks0, pos0, jax.random.key(0),
+            jnp.zeros((B,), jnp.float32), 8, sc)
+        # second chunk consumes the pool the first chunk wrote
+        toks2, paged = decode_steps_paged(
+            sparams, paged, toks[:, -1], pos0 + 8, jax.random.key(1),
+            jnp.zeros((B,), jnp.float32), 4, sc)
+        outs[impl] = (np.asarray(toks), np.asarray(toks2),
+                      np.asarray(paged.pool), np.asarray(paged.sc))
+    for a, b in zip(outs["side"], outs["side-eager"]):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("impl", ["kernel", "ringview"])
+def test_paged_impl_matches_side(setup, impl):
+    """Every alternative paged-attention impl — "kernel" (Pallas
+    in-kernel page-table walk, no snapshot; interpret mode on CPU) and
+    "ringview" (snapshot gathered into the ring layout, literal ring
+    einsum) — must produce the same greedy tokens and pool state as
+    "side"."""
+    import dataclasses
+    from fp8tpu.serve.model import decode_steps_paged
+    cfg, _, _, scfg, sparams = setup
+    B = 2
+    toks0 = jnp.asarray([3, 4], jnp.int32)
+    pos0 = jnp.asarray([5, 2], jnp.int32)
+
+    outs = {}
+    for impl in ("side", impl):
+        sc = dataclasses.replace(scfg, paged_decode_impl=impl)
+        paged = _paged_pool(cfg)
+        toks, paged = decode_steps_paged(
+            sparams, paged, toks0, pos0, jax.random.key(0),
+            jnp.zeros((B,), jnp.float32), 8, sc)
+        toks2, paged = decode_steps_paged(
+            sparams, paged, toks[:, -1], pos0 + 8, jax.random.key(1),
+            jnp.zeros((B,), jnp.float32), 4, sc)
+        outs[impl] = (np.asarray(toks), np.asarray(toks2),
+                      np.asarray(paged.pool).astype(np.float32),
+                      np.asarray(paged.sc))
+    # greedy tokens must agree exactly; pool payloads may differ by the
+    # 1-ulp accumulation-order flips any cross-path comparison carries
+    # (NOTES r3 "Measurement note") — the kernel's in-register bf16 dots
+    # order reductions differently than the snapshot einsum.
+    alt = [k for k in outs if k != "side"][0]
+    np.testing.assert_array_equal(outs["side"][0], outs[alt][0])
+    np.testing.assert_array_equal(outs["side"][1], outs[alt][1])
+    a, b = outs["side"][2], outs[alt][2]
+    frac = (a != b).mean()
+    # payloads are amax-scaled e4m3 (row amax ≈ 448 payload units), so a
+    # 1-ulp flip is ≤ ~4% of the row range; bound the worst payload
+    # difference by 5% of the format max and the flip rate by 1%
+    assert frac < 0.01 and np.abs(a - b).max() <= 0.05 * 448, (
+        frac, np.abs(a - b).max())
+    np.testing.assert_allclose(outs["side"][3], outs[alt][3],
+                               rtol=2e-2)

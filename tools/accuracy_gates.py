@@ -412,12 +412,20 @@ def moe_gates(steps, batch, lr, results, recipes=("hybrid",
     # whole-whitelist scoping the budget study says stalls under
     # quantized norm/residual gradient streams — and published the miss
     # without ever trying the recommended hybrid-gemm recipe on MoE).
+    # A recipe token may carry a module-exemption suffix: "X@norouter"
+    # trains recipe X with the router Dense exempted — the cell that
+    # tests whether fp8 noise on ROUTER LOGITS (discrete routing
+    # decisions amplify small perturbations) is what keeps MoE training
+    # from parity when the expert/GEMM streams alone are quantized.
     results["moe"]["training"] = {"bf16_ppl": round(base, 4),
                                   "steps": steps}
-    for algo in recipes:
+    for recipe in recipes:
+        algo, _, mod = recipe.partition("@")
+        exempt = ("*router*",) if mod == "norouter" else ()
         emulator = initialize(model, variables,
                               (jnp.asarray(train_toks[:1, :-1]),),
-                              training_algo=algo, master_fmt="fp16")
+                              training_algo=algo, master_fmt="fp16",
+                              exempt_layers=exempt)
         qstep = jax.jit(make_train_step(emulator, _opt(lr, steps),
                                         loss_moe))
         qparams = variables
@@ -431,14 +439,14 @@ def moe_gates(steps, batch, lr, results, recipes=("hybrid",
             qparams, qopt, loss = qstep(qparams, qopt,
                                         jnp.asarray(train_toks[idx]), sub)
             if (i + 1) % max(steps // 5, 1) == 0:
-                print(f"    moe {algo} step {i+1}/{steps} "
+                print(f"    moe {recipe} step {i+1}/{steps} "
                       f"loss {float(loss):.4f}", flush=True)
         p = ppl_of(lambda tb: japply(qparams, tb), eval_toks)
-        results["moe"]["training"][f"{algo}_ppl"] = round(p, 4)
-        results["moe"]["training"][f"{algo}_gap"] = round(p - base, 4)
-        results["moe"]["training"][f"{algo}_gap_nats"] = round(
+        results["moe"]["training"][f"{recipe}_ppl"] = round(p, 4)
+        results["moe"]["training"][f"{recipe}_gap"] = round(p - base, 4)
+        results["moe"]["training"][f"{recipe}_gap_nats"] = round(
             float(np.log(p) - np.log(base)), 4)
-        print(f"[moe] {algo} FP8-trained ppl {p:.4f} (gap {p-base:+.4f}, "
+        print(f"[moe] {recipe} FP8-trained ppl {p:.4f} (gap {p-base:+.4f}, "
               f"{time.time()-t0:.0f}s)")
 
 

@@ -86,26 +86,32 @@ def training_overhead():
         float(loss)
 
     t_plain = _best(run_plain) / 8
-
-    emulator = initialize(model, variables, (tokens,),
-                          training_algo="hybrid", master_fmt="fp16")
-    estep = jax.jit(make_train_step(emulator, opt, loss_fn))
-    eparams = variables
-    eopt = init_train_state(opt, eparams)
-
-    def run_emu():
-        nonlocal eparams, eopt
-        for _ in range(8):
-            eparams, eopt, loss = estep(eparams, eopt, tokens, key)
-        float(loss)
-
-    t_emu = _best(run_emu) / 8
     toks = B * (S - 1)
-    return {
-        "plain_tok_s": round(toks / t_plain, 1),
-        "hybrid_emulated_tok_s": round(toks / t_emu, 1),
-        "emulation_overhead_x": round(t_emu / t_plain, 3),
-    }
+    out = {"plain_tok_s": round(toks / t_plain, 1),
+           "cast_impl": "hw"}
+
+    # hybrid = the reference-faithful whole-whitelist scoping;
+    # hybrid-gemm = the recommended production scoping (GEMM streams
+    # only), which casts far fewer tensors per step.
+    for algo, tag in (("hybrid", "hybrid"), ("hybrid-gemm", "gemm")):
+        emulator = initialize(model, variables, (tokens,),
+                              training_algo=algo, master_fmt="fp16")
+        estep = jax.jit(make_train_step(emulator, opt, loss_fn))
+        eparams = variables
+        eopt = init_train_state(opt, eparams)
+
+        def run_emu():
+            nonlocal eparams, eopt
+            for _ in range(8):
+                eparams, eopt, loss = estep(eparams, eopt, tokens, key)
+            float(loss)
+
+        t_emu = _best(run_emu) / 8
+        out[f"{tag}_emulated_tok_s"] = round(toks / t_emu, 1)
+        out[f"{tag}_overhead_x"] = round(t_emu / t_plain, 3)
+    # legacy key (r2-r4 name for the whole-whitelist hybrid number)
+    out["emulation_overhead_x"] = out["hybrid_overhead_x"]
+    return out
 
 
 def qdq_matmul_mfu():

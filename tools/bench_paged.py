@@ -79,7 +79,7 @@ def fresh_paged():
 # headline keys (paged_tok_s / ring_over_paged) always describe the
 # shipped DEFAULT impl (VERDICT r4 weak #3c).
 default_impl = ServeConfig.paged_decode_impl
-impls = ["side", "scatter", "kernel"]
+impls = ["side", "ringview", "side-eager", "scatter", "kernel"]
 if default_impl not in impls:
     impls.insert(0, default_impl)
 

@@ -31,12 +31,8 @@ from fp8tpu.serve.model import random_serve_params
 def main():
     cfg = tiny_config(n_layers=12, d_model=2048, n_heads=16, n_kv_heads=4,
                       d_ff=8192, vocab_size=32000, max_seq_len=1024)
-    dcfg = tiny_config(n_layers=2, d_model=512, n_heads=8, n_kv_heads=4,
-                       d_ff=2048, vocab_size=32000, max_seq_len=1024)
     scfg = ServeConfig(model=cfg, kv_fmt="int8")
-    dscfg = ServeConfig(model=dcfg, kv_fmt="int8")
     params = random_serve_params(cfg, "e4m3")
-    dparams = random_serve_params(dcfg, "e4m3")
     out = {}
 
     def reqs(n, plen=64, new=128):
@@ -59,22 +55,21 @@ def main():
                           depth=3)
     out["plain_paged_tok_s"] = round(run(plain, reqs(N_REQ), "plain"), 1)
 
+    # Self-draft (draft == target) is an ACCEPTANCE-CEILING DIAGNOSTIC
+    # only: it prices drafting at target cost, so its throughput is < 1x
+    # plain by construction — the keys say so.  The meaningful spec
+    # numbers (trained ~2% draft, real prompts) live in
+    # PERF_EXTRAS["spec_trained"] (tools/bench_spec_trained.py); the r4
+    # random small-draft row (acceptance 0.0 by construction —
+    # random-vs-random token agreement) is dropped as uninformative.
     for k in (4, 8):
         eng = ServingEngine(params, scfg, n_slots=N_SLOTS, max_seq=1024,
                             use_paged=True, page_size=64, depth=3,
                             draft_params=params, draft_cfg=scfg, k_spec=k)
-        tok_s = run(eng, reqs(N_REQ), f"self-draft K={k}")
+        tok_s = run(eng, reqs(N_REQ), f"self-draft ceiling K={k}")
         acc = eng.spec_accepted / max(eng.spec_drafted, 1)
-        out[f"selfdraft_k{k}_tok_s"] = round(tok_s, 1)
-        out[f"selfdraft_k{k}_acceptance"] = round(acc, 3)
-
-    eng = ServingEngine(params, scfg, n_slots=N_SLOTS, max_seq=1024,
-                        use_paged=True, page_size=64, depth=3,
-                        draft_params=dparams, draft_cfg=dscfg, k_spec=4)
-    tok_s = run(eng, reqs(N_REQ), "small-draft K=4 (random=0 acceptance)")
-    out["smalldraft_k4_tok_s"] = round(tok_s, 1)
-    out["smalldraft_k4_acceptance"] = round(
-        eng.spec_accepted / max(eng.spec_drafted, 1), 3)
+        out[f"selfdraft_ceiling_diag_k{k}_tok_s"] = round(tok_s, 1)
+        out[f"selfdraft_ceiling_diag_k{k}_acceptance"] = round(acc, 3)
 
     # Prefix-reuse admission: 16 requests sharing a 512-token prefix.
     sysp = list(range(3, 3 + 512))

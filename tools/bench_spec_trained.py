@@ -136,9 +136,9 @@ def main():
     # real corpus prompts (speculation acceptance is data-dependent)
     toks = mixed_lm_corpus(64, m["seq"], m["vocab"], seed=5)
 
-    def reqs(n, plen=48, new=160):
+    def reqs(n, plen=48, new=160, **kw):
         return [Request(uid=i, prompt=[int(t) for t in toks[i][:plen]],
-                        max_new_tokens=new) for i in range(n)]
+                        max_new_tokens=new, **kw) for i in range(n)]
 
     MAXSEQ = m["seq"]
 
@@ -154,7 +154,11 @@ def main():
 
     out = {"target_params_m": round(float(n_tp) / 1e6, 1),
            "draft_params_m": round(float(n_dp) / 1e6, 1)}
-    for slots, nreq, tag in ((4, 8, "b4"), (16, 32, "b16")):
+    # b1 = the pure LATENCY cell (one request at a time — where
+    # speculation matters most); b4 = the r4 winning batch; b16 = the
+    # throughput batch where weight streams already amortize and
+    # speculation is expected to lose (VERDICT r4 next #8).
+    for slots, nreq, tag in ((1, 3, "b1"), (4, 8, "b4"), (16, 32, "b16")):
         new = min(160, MAXSEQ - 64)
         plain = ServingEngine(params, scfg, n_slots=slots, max_seq=MAXSEQ,
                               chunk_size=64, use_paged=True, page_size=32,
@@ -177,6 +181,31 @@ def main():
             out[f"spec_{tag}_k{k}_rpd{rpd}_acceptance"] = round(acc, 3)
             out[f"spec_{tag}_k{k}_rpd{rpd}_vs_plain"] = round(
                 t / out[f"plain_{tag}_tok_s"], 3)
+
+    # filtered-sampling spec cell (VERDICT r4 next #8): top-p nucleus
+    # sampling through the lossless filtered rejection path, at the
+    # winning configuration (B=4, K=4, 4 rounds/dispatch)
+    slots, nreq, new = 4, 8, min(160, MAXSEQ - 64)
+    fp = ServingEngine(params, scfg, n_slots=slots, max_seq=MAXSEQ,
+                       chunk_size=64, use_paged=True, page_size=32,
+                       depth=2)
+    run(fp, reqs(2, new=8, temperature=0.8, top_p=0.9), "b4 topp warm")
+    out["plain_b4_topp_tok_s"] = round(
+        run(fp, reqs(nreq, new=new, temperature=0.8, top_p=0.9),
+            "plain b4 top-p"), 1)
+    eng = ServingEngine(params, scfg, n_slots=slots, max_seq=MAXSEQ,
+                        use_paged=True, page_size=32, depth=2,
+                        draft_params=dparams, draft_cfg=dscfg,
+                        k_spec=4, spec_rounds_per_dispatch=4)
+    run(eng, reqs(2, new=8, temperature=0.8, top_p=0.9),
+        "b4 topp spec warm")
+    t = run(eng, reqs(nreq, new=new, temperature=0.8, top_p=0.9),
+            "spec b4 top-p K=4 rpd=4")
+    out["spec_b4_topp_k4_rpd4_tok_s"] = round(t, 1)
+    out["spec_b4_topp_k4_rpd4_acceptance"] = round(
+        eng.spec_accepted / max(eng.spec_drafted, 1), 3)
+    out["spec_b4_topp_k4_rpd4_vs_plain"] = round(
+        t / out["plain_b4_topp_tok_s"], 3)
 
     try:
         with open(OUT) as f:
