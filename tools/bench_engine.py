@@ -64,10 +64,14 @@ def main():
         tok_s = run(c)
         res[f"chunk_{c}_tok_s"] = round(tok_s, 1)
         print(f"chunk_size={c}: {tok_s:.0f} tok/s end-to-end", flush=True)
-    paged = run(max(sizes), use_paged=True)
-    res[f"paged_chunk_{max(sizes)}_tok_s"] = round(paged, 1)
-    print(f"paged chunk_size={max(sizes)}: {paged:.0f} tok/s end-to-end",
-          flush=True)
+    best = None
+    for c in sorted({64, max(sizes)} & set(sizes) | {max(sizes)}):
+        paged = run(c, use_paged=True)
+        res[f"paged_chunk_{c}_tok_s"] = round(paged, 1)
+        best = max(best or 0, paged)
+        print(f"paged chunk_size={c}: {paged:.0f} tok/s end-to-end",
+              flush=True)
+    res["paged_best_tok_s"] = round(best, 1)
 
     prev = {}
     if os.path.exists(OUT):
