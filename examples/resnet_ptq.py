@@ -133,16 +133,34 @@ def main():
                         "preprocessed with the reference's val transform")
     p.add_argument("--sweep", action="store_true",
                    help="sweep all dtypes (launch.py behavior)")
+    p.add_argument("--torch_ckpt", default=None,
+                   help="pretrained torchvision state_dict (.pt/.pth) — "
+                        "the reference's imagenet_test.py pretrained-load "
+                        "path: converted via tools/convert_torch.py and "
+                        "evaluated instead of random init")
     args = p.parse_args()
 
     model = get_model(args.model, args.num_classes)
     x, y = load_data(args)
-    variables = model.init(jax.random.key(2), x[:2])
-    # Touch BN stats so folding is meaningful.
-    for i in range(3):
-        _, upd = model.apply(variables, x[i * 8:(i + 1) * 8], train=True,
-                             mutable=["batch_stats"])
-        variables = {**variables, "batch_stats": upd["batch_stats"]}
+    if args.torch_ckpt:
+        import torch
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        from convert_torch import convert_resnet
+        blob = torch.load(args.torch_ckpt, map_location="cpu",
+                          weights_only=True)
+        sd = blob.get("state_dict", blob) if isinstance(blob, dict) \
+            else blob
+        variables = jax.tree.map(jnp.asarray,
+                                 convert_resnet(sd, model.cfg))
+        print(f"loaded pretrained torch checkpoint {args.torch_ckpt}")
+    else:
+        variables = model.init(jax.random.key(2), x[:2])
+        # Touch BN stats so folding is meaningful.
+        for i in range(3):
+            _, upd = model.apply(variables, x[i * 8:(i + 1) * 8],
+                                 train=True, mutable=["batch_stats"])
+            variables = {**variables, "batch_stats": upd["batch_stats"]}
 
     log = MetricLogger()
     base_apply = jax.jit(lambda v, xb: model.apply(v, xb))

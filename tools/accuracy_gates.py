@@ -463,10 +463,22 @@ def direct_recipe_gates(steps, batch, lr, results, model_name="small",
     cfg, model, train_toks, eval_toks = _build_lm(model_name)
     variables = model.init(jax.random.key(1),
                            jnp.asarray(train_toks[:1, :-1]))
-    trained = _trained_baseline(model_name, model, variables, train_toks,
-                                steps, lr, batch)
     japply = jax.jit(lambda v, t: model.apply(v, t))
-    base = ppl_of(lambda tb: japply(trained, tb), eval_toks)
+    # ACC_BF16_PPL=<ppl> skips (re)training the bf16 referent and uses a
+    # previously RECORDED baseline eval ppl for the gap computation —
+    # valid because the baseline run is fully deterministic (same seed,
+    # data schedule, recipe) and eval_toks regenerate identically; used
+    # when a prior round's artifact already carries the number (e.g.
+    # ACCURACY_BUDGET gemm_recipe_6000.bf16_ppl) and the wall-clock is
+    # better spent on the new fp8 cells.
+    if os.environ.get("ACC_BF16_PPL"):
+        base = float(os.environ["ACC_BF16_PPL"])
+        print(f"[direct] using recorded bf16 referent ppl {base:.4f} "
+              "(ACC_BF16_PPL)")
+    else:
+        trained = _trained_baseline(model_name, model, variables,
+                                    train_toks, steps, lr, batch)
+        base = ppl_of(lambda tb: japply(trained, tb), eval_toks)
     out = {"bf16_ppl": round(base, 4), "model": model_name,
            "steps": steps, "gate_nats": 0.05}
     if recipes is None:

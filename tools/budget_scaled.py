@@ -32,7 +32,9 @@ ap.add_argument("--lr", type=float, default=1e-3)
 ap.add_argument("--batch", type=int, default=32)
 ap.add_argument("--model", default="large")
 ap.add_argument("--out_key", default="budget_scaled")
+ap.add_argument("--out", default=OUT)
 args = ap.parse_args()
+OUT = args.out
 
 recipes = tuple(
     (r.split(":")[0], r.split(":")[1] if ":" in r else "fp16")
