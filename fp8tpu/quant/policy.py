@@ -197,15 +197,19 @@ def gemm_only_training_policy() -> QuantPolicy:
     streams, no output-activation casts, no eltwise/batch-matmul).
 
     This is how production FP8 trainers scope quantization (only the
-    matmul operands see fp8; the residual/norm streams stay bf16).  The
-    r4 budget-extension study motivates it: with the reference's
-    everything-on-the-whitelist scoping, EVERY recipe — scaled or not —
-    stops converging around loss ~4.2 at 83M while bf16 trains through
-    (ACCURACY_BUDGET.json), and the role ablation shows even
-    forward-only quantization stalls there, although a PTQ pass over
-    the fully-trained bf16 model costs only +0.17 ppl: the ceiling is
-    an optimization-under-noise effect of casting the norm/residual
-    streams, not an expressiveness limit of fp8 matmuls."""
+    matmul operands see fp8).  The r4 budget-extension study motivates
+    it: with the reference's everything-on-the-whitelist scoping, EVERY
+    recipe — scaled or not — stops converging around loss ~4.2 at 83M
+    while bf16 trains through (ACCURACY_BUDGET.json), although a PTQ
+    pass over the fully-trained bf16 model costs only +0.17 ppl: an
+    optimization-under-noise ceiling, not an expressiveness limit of
+    fp8 matmuls.  r5 localization note: on the llama-class decoder the
+    norm/residual streams were never actually quantized by the full
+    whitelist (RMSNorm is a custom module outside the LAYERNORM kind;
+    residual adds are unwrapped), so what this recipe removes relative
+    to "hybrid" there is the attention BATCH_MATMUL streams, the dense
+    oact/igrad casts, and the embedding wtgrad — see "hybrid-no-bmm"
+    for the single-factor cell."""
     fwd = TensorQuantConfig("e4m3", "rne", "per-tensor", cast_impl="hw")
     bwd = TensorQuantConfig("e5m2", "stochastic", "per-tensor",
                             cast_impl="hw")
@@ -316,6 +320,20 @@ def get_policy(dtype: str, training: bool = False) -> QuantPolicy:
             p = hybrid_training_policy()
             return dataclasses.replace(p, default=p.default.replace(
                 igrad=None, ograd=None), name="hybrid-no-actgrad")
+        if d == "hybrid-no-bmm":
+            # Mechanism cell for the llama-class decoder (r5): the
+            # decoder's RMSNorm is a custom module (LayerKind.OTHER —
+            # never whitelisted) and its residual adds are bare `+`, so
+            # "hybrid-no-normres" is a NO-OP there (proven: bit-identical
+            # MoE result).  The real hybrid-vs-hybrid-gemm differences
+            # on the decoder are (a) the attention BATCH_MATMUL streams
+            # (score/context matmul iact+igrad), (b) dense oact+igrad
+            # casts, (c) embed wtgrad.  This recipe drops only (a).
+            p = hybrid_training_policy()
+            return dataclasses.replace(
+                p, whitelist=tuple(k for k in p.whitelist
+                                   if k != LayerKind.BATCH_MATMUL),
+                name="hybrid-no-bmm")
         if d == "hybrid-no-normres":
             # The mechanism cell (VERDICT r4 next #9): keep the reference's
             # whole-whitelist hybrid scoping on every stream EXCEPT the

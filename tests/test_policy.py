@@ -138,3 +138,15 @@ def test_hybrid_no_normres_exempts_actgrads_by_kind():
         assert c.igrad is not None and c.ograd is not None
         assert c.wt.dtype == "e4m3" and c.igrad.dtype == "e5m2"
     hash(p)
+
+
+def test_hybrid_no_bmm_drops_batch_matmul_only():
+    """r5 decoder mechanism cell: full hybrid minus the attention
+    batch-matmul streams (see NOTES r5 — the decoder's RMSNorm/residual
+    adds were never whitelisted, so this is the single-factor recipe)."""
+    p = get_policy("hybrid-no-bmm", training=True)
+    assert p.resolve("attn/scores", LayerKind.BATCH_MATMUL) is None
+    c = p.resolve("q_proj", LayerKind.DENSE)
+    assert c.oact is not None and c.igrad is not None
+    h = get_policy("hybrid", training=True)
+    assert h.resolve("attn/scores", LayerKind.BATCH_MATMUL) is not None
