@@ -312,6 +312,21 @@ def get_policy(dtype: str, training: bool = False) -> QuantPolicy:
             p = hybrid_training_policy()
             return dataclasses.replace(p, default=p.default.replace(
                 wt=None, iact=None, oact=None), name="hybrid-bwd-only")
+        if d == "hybrid-no-igrad":
+            # single-factor r5 mechanism cells: hybrid minus exactly one
+            # stream.  hybrid-gemm differs from hybrid (on the decoder)
+            # by {batch-matmul streams, dense oact, dense igrad, embed
+            # wtgrad}; no-bmm stalled at 6000 steps, so the transition
+            # blocker is among the dense deltas — these two separate
+            # igrad (input cotangent casts) from oact (forward output
+            # casts).
+            p = hybrid_training_policy()
+            return dataclasses.replace(p, default=p.default.replace(
+                igrad=None), name="hybrid-no-igrad")
+        if d == "hybrid-no-oact":
+            p = hybrid_training_policy()
+            return dataclasses.replace(p, default=p.default.replace(
+                oact=None), name="hybrid-no-oact")
         if d == "hybrid-no-wtgrad":
             p = hybrid_training_policy()
             return dataclasses.replace(p, default=p.default.replace(
