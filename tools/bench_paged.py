@@ -25,10 +25,23 @@ from fp8tpu.serve.model import (decode_steps, decode_steps_paged,
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "PERF_EXTRAS.json")
 
-CFG = DecoderConfig(vocab_size=32768, d_model=2048, n_layers=12,
-                    n_heads=16, n_kv_heads=4, d_ff=5504, max_seq_len=512)
-B, S, STEPS, DEPTH, WARM = 32, 512, 64, 3, 440
-PAGE = 64
+if os.environ.get("PAGED_BENCH_PRESET") == "small":
+    # the spec-bench shape (83M-class, short pages): checks whether the
+    # default impl choice transfers to small models, where per-chunk
+    # fixed costs weigh more
+    CFG = DecoderConfig(vocab_size=256, d_model=768, n_layers=12,
+                        n_heads=12, n_kv_heads=4, d_ff=2304,
+                        max_seq_len=256)
+    B, S, STEPS, DEPTH, WARM = 16, 256, 64, 3, 190
+    PAGE = 32
+    OUT_KEY = "paged_small"
+else:
+    CFG = DecoderConfig(vocab_size=32768, d_model=2048, n_layers=12,
+                        n_heads=16, n_kv_heads=4, d_ff=5504,
+                        max_seq_len=512)
+    B, S, STEPS, DEPTH, WARM = 32, 512, 64, 3, 440
+    PAGE = 64
+    OUT_KEY = "paged"
 
 scfg = ServeConfig(model=CFG, weight_fmt="e4m3", kv_fmt="int8",
                    embed_fmt="e4m3")
@@ -101,7 +114,7 @@ prev = {}
 if os.path.exists(OUT):
     with open(OUT) as f:
         prev = json.load(f)
-rec = {"model": "1B-class d2048 L12", "default_impl": default_impl,
+rec = {"model": f"{CFG.d_model}d L{CFG.n_layers} B{B} S{S}", "default_impl": default_impl,
        "ring_tok_s": round(ring_tok, 1)}
 for impl, tok in results.items():
     rec[f"paged_{impl}_tok_s"] = round(tok, 1)
@@ -109,7 +122,7 @@ for impl, tok in results.items():
 if default_impl in results:
     rec["paged_tok_s"] = round(results[default_impl], 1)
     rec["ring_over_paged"] = round(ring_tok / results[default_impl], 3)
-prev["paged"] = rec
+prev[OUT_KEY] = rec
 with open(OUT, "w") as f:
     json.dump(prev, f, indent=1)
 print("wrote", os.path.abspath(OUT))
