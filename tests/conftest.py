@@ -26,3 +26,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The full suite accumulates ~500 compiled CPU executables in one
+    process; with jax 0.9.0's CPU backend that eventually segfaults
+    inside backend_compile_and_load (observed twice at the same spot —
+    the LAST module's compiles — while the same module passes standalone
+    or earlier in the order).  Dropping the caches at module boundaries
+    bounds the native arena instead.
+    """
+    yield
+    jax.clear_caches()
