@@ -147,7 +147,7 @@ def main():
     def head(h, e):
         logits = jax.lax.dot_general(h, e, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-        return h + e[0] * jnp.max(logits) * 1e-9
+        return (h + e[0] * jnp.max(logits) * 1e-9).astype(h.dtype)
 
     t = timeit(rep(head, h0), h0, emb)
     report("lm head bf16", t, emb.nbytes)
