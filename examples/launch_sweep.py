@@ -46,7 +46,7 @@ def main():
                     choices=["tiny", "tiny_vgg", "tiny_mobilenet",
                              "tiny_inception", "tiny_densenet",
                              "tiny_shufflenet", "tiny_squeezenet",
-                             "tiny_mbconv", "tiny_mbconv_hs",
+                             "tiny_mbconv", "tiny_mbconv_hs", "tiny_vit",
                              "tiny_resnext", "resnet18", "resnet50",
                              "resnext50_32x4d", "wide_resnet50_2"])
     ap.add_argument("--dtypes", nargs="+",

@@ -47,7 +47,8 @@ def get_model(name: str, num_classes: int, norm_mode: str = "bn"):
                                       VGG_EXEMPT, tiny_densenet,
                                       tiny_inception, tiny_mbconv,
                                       tiny_mobilenet, tiny_shufflenet,
-                                      tiny_squeezenet, tiny_vgg)
+                                      tiny_squeezenet, tiny_vgg,
+                                      VIT_EXEMPT, tiny_vit)
     from fp8tpu.models.resnet import tiny_resnext
     makers = {
         "tiny_vgg": (tiny_vgg, VGG_EXEMPT),
@@ -60,6 +61,7 @@ def get_model(name: str, num_classes: int, norm_mode: str = "bn"):
         "tiny_mbconv_hs": (lambda n: tiny_mbconv(n, act="hardswish"),
                            MBCONV_EXEMPT),
         "tiny_resnext": (tiny_resnext, RESNET_EXEMPT),
+        "tiny_vit": (tiny_vit, VIT_EXEMPT),
     }
     if name in makers:
         make, exempt = makers[name]
@@ -120,7 +122,13 @@ def evaluate(apply_fn, x, y, batch: int, log: MetricLogger):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="tiny",
-                   choices=["tiny", "resnet18", "resnet50"])
+                   choices=["tiny", "resnet18", "resnet50",
+                            "resnext50_32x4d", "wide_resnet50_2",
+                            "tiny_vgg", "tiny_mobilenet",
+                            "tiny_inception", "tiny_densenet",
+                            "tiny_shufflenet", "tiny_squeezenet",
+                            "tiny_mbconv", "tiny_mbconv_hs",
+                            "tiny_resnext", "tiny_vit"])
     p.add_argument("--dtype", default="e4m3",
                    choices=["e4m3", "e3m4", "hybrid", "e5m2"])
     p.add_argument("--batch-size", type=int, default=32)
@@ -156,11 +164,14 @@ def main():
         print(f"loaded pretrained torch checkpoint {args.torch_ckpt}")
     else:
         variables = model.init(jax.random.key(2), x[:2])
-        # Touch BN stats so folding is meaningful.
-        for i in range(3):
-            _, upd = model.apply(variables, x[i * 8:(i + 1) * 8],
-                                 train=True, mutable=["batch_stats"])
-            variables = {**variables, "batch_stats": upd["batch_stats"]}
+        # Touch BN stats so folding is meaningful (norm-free families —
+        # e.g. the LayerNorm-only ViT — have no batch_stats collection).
+        if "batch_stats" in variables:
+            for i in range(3):
+                _, upd = model.apply(variables, x[i * 8:(i + 1) * 8],
+                                     train=True, mutable=["batch_stats"])
+                variables = {**variables,
+                             "batch_stats": upd["batch_stats"]}
 
     log = MetricLogger()
     base_apply = jax.jit(lambda v, xb: model.apply(v, xb))
@@ -171,13 +182,15 @@ def main():
     dtypes = (["e4m3", "e3m4", "hybrid"] if args.sweep else [args.dtype])
     for dtype in dtypes:
         t0 = time.time()
+        has_bn = "batch_stats" in variables
         infer_model = get_model(args.model, args.num_classes,
-                                norm_mode="scale_shift")
+                                norm_mode="scale_shift") if has_bn \
+            else None
         calib = [x[i * args.batch_size:(i + 1) * args.batch_size]
                  for i in range(args.num_calibration_batches)]
         calib = [c for c in calib if c.shape[0] > 0]  # short datasets
         qm = fp8tpu.quantize_model(
-            model, variables, (x[:2],), dtype=dtype, fuse_bn=True,
+            model, variables, (x[:2],), dtype=dtype, fuse_bn=has_bn,
             inference_model=infer_model, calibration_batches=calib,
             list_exempt_layers=MODEL_EXEMPT.get(args.model,
                                                 RESNET_EXEMPT))

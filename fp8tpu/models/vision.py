@@ -488,3 +488,88 @@ def tiny_mbconv(num_classes: int = 10, act: str = "relu6") -> MBConvNet:
         plan=((16, 1, 1, False), (24, 2, 4, True), (24, 1, 4, True),
               (48, 2, 4, True)),
         stem_width=16, num_classes=num_classes, act=act))
+
+
+# ---------------------------------------------------------------------------
+# Vision Transformer (beyond the reference's conv-era sweep)
+# ---------------------------------------------------------------------------
+
+# Exempt convention mirrors the reference's first-conv + classifier rule
+# (imagenet_test.py:24-71): the patch-embed conv is the "first conv".
+VIT_EXEMPT: Tuple[str, ...] = ("patch_embed", "classifier")
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    d_model: int = 768
+    n_layers: int = 12
+    n_heads: int = 12
+    d_ff: int = 3072
+    num_classes: int = 1000
+    pool: str = "cls"               # 'cls' token | 'gap'
+
+
+class ViT(nn.Module):
+    """ViT-B/16-class encoder: patch-embed conv → [CLS] + learned
+    positional embeddings → pre-norm transformer blocks → classifier.
+
+    The reference's sweep stops at conv-era torchvision models
+    (launch.py:14-80); a user PTQ-ing a modern vision checkpoint needs
+    the attention-block quantization surface too.  Every matmul is an
+    interceptable ``nn.Dense``/``nn.Conv`` (same instrumentation points
+    as models/bert.py), LayerNorm stays unquantized (no BN → no
+    ScaleShift fold on this family), and the exempt list follows the
+    first-conv + classifier convention.
+    """
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        p = cfg.patch_size
+        B = x.shape[0]
+        x = nn.Conv(cfg.d_model, (p, p), (p, p), padding="VALID",
+                    use_bias=True, name="patch_embed")(x)
+        x = x.reshape(B, -1, cfg.d_model)
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, cfg.d_model), x.dtype)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, cfg.d_model)),
+                             x], axis=1)
+        pos = self.param("pos_embed",
+                         nn.initializers.normal(stddev=0.02),
+                         (1, x.shape[1], cfg.d_model), x.dtype)
+        x = x + pos
+
+        H = cfg.n_heads
+        D = cfg.d_model // H
+        scale = D ** -0.5
+        for i in range(cfg.n_layers):
+            y = nn.LayerNorm(name=f"blk{i}_ln1")(x)
+            S = y.shape[1]
+            q = nn.Dense(H * D, name=f"blk{i}_q")(y).reshape(B, S, H, D)
+            k = nn.Dense(H * D, name=f"blk{i}_k")(y).reshape(B, S, H, D)
+            v = nn.Dense(H * D, name=f"blk{i}_v")(y).reshape(B, S, H, D)
+            att = jnp.einsum("bshd,bthd->bhst", q, k) * scale
+            att = nn.softmax(att, axis=-1)
+            ctx = jnp.einsum("bhst,bthd->bshd", att, v).reshape(B, S, -1)
+            x = x + nn.Dense(cfg.d_model, name=f"blk{i}_proj")(ctx)
+            y = nn.LayerNorm(name=f"blk{i}_ln2")(x)
+            y = nn.gelu(nn.Dense(cfg.d_ff, name=f"blk{i}_fc1")(y))
+            x = x + nn.Dense(cfg.d_model, name=f"blk{i}_fc2")(y)
+
+        x = nn.LayerNorm(name="ln_f")(x)
+        h = x[:, 0] if cfg.pool == "cls" else jnp.mean(x[:, 1:], axis=1)
+        return nn.Dense(cfg.num_classes, name="classifier")(h)
+
+
+def vit_b16(num_classes: int = 1000, **kw) -> ViT:
+    return ViT(ViTConfig(num_classes=num_classes, **kw))
+
+
+def tiny_vit(num_classes: int = 10) -> ViT:
+    return ViT(ViTConfig(image_size=32, patch_size=8, d_model=64,
+                         n_layers=2, n_heads=4, d_ff=128,
+                         num_classes=num_classes))

@@ -15,7 +15,8 @@ from fp8tpu.models import (DENSENET_EXEMPT, INCEPTION_EXEMPT,
                            SQUEEZENET_EXEMPT, VGG_EXEMPT, tiny_densenet,
                            tiny_inception, tiny_mbconv, tiny_mobilenet,
                            tiny_resnext, tiny_shufflenet,
-                           tiny_squeezenet, tiny_vgg)
+                           tiny_squeezenet, tiny_vgg, tiny_vit)
+from fp8tpu.models import VIT_EXEMPT
 
 
 @pytest.mark.parametrize("make,exempt", [
@@ -28,6 +29,7 @@ from fp8tpu.models import (DENSENET_EXEMPT, INCEPTION_EXEMPT,
     (tiny_mbconv, MBCONV_EXEMPT),
     (lambda n: tiny_mbconv(n, act="hardswish"), MBCONV_EXEMPT),
     (tiny_resnext, RESNET_EXEMPT),
+    (tiny_vit, VIT_EXEMPT),
 ])
 def test_family_ptq_flow(rng, make, exempt):
     model = make(8)
