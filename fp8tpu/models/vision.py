@@ -557,7 +557,10 @@ class ViT(nn.Module):
             ctx = jnp.einsum("bhst,bthd->bshd", att, v).reshape(B, S, -1)
             x = x + nn.Dense(cfg.d_model, name=f"blk{i}_proj")(ctx)
             y = nn.LayerNorm(name=f"blk{i}_ln2")(x)
-            y = nn.gelu(nn.Dense(cfg.d_ff, name=f"blk{i}_fc1")(y))
+            # exact (erf) gelu — torchvision ViT's nn.GELU, so converted
+            # checkpoints match bit-for-bit semantics (cf. bert.py:82-84)
+            y = nn.gelu(nn.Dense(cfg.d_ff, name=f"blk{i}_fc1")(y),
+                        approximate=False)
             x = x + nn.Dense(cfg.d_model, name=f"blk{i}_fc2")(y)
 
         x = nn.LayerNorm(name="ln_f")(x)

@@ -186,3 +186,80 @@ def test_bert_qa_roundtrip():
                                rtol=1e-3)
     np.testing.assert_allclose(np.asarray(end), ref_end, atol=2e-4,
                                rtol=1e-3)
+
+
+# --- minimal torch ViT with exact torchvision naming ---------------------
+
+class TViT(tnn.Module):
+    """torchvision vision_transformer naming (conv_proj / class_token /
+    encoder.layers.encoder_layer_{i}.{ln_1,self_attention,ln_2,mlp} /
+    encoder.ln / heads.head); LayerNorm eps 1e-6 like torchvision."""
+
+    def __init__(self, image_size=32, patch=8, d=64, layers=2, heads=4,
+                 ff=128, classes=10):
+        super().__init__()
+        self.patch = patch
+        self.conv_proj = tnn.Conv2d(3, d, patch, patch)
+        self.class_token = tnn.Parameter(torch.zeros(1, 1, d))
+        seq = (image_size // patch) ** 2 + 1
+        self.encoder = tnn.Module()
+        self.encoder.pos_embedding = tnn.Parameter(
+            torch.empty(1, seq, d).normal_(std=0.02))
+        self.encoder.layers = tnn.ModuleDict()
+        for i in range(layers):
+            blk = tnn.Module()
+            blk.ln_1 = tnn.LayerNorm(d, eps=1e-6)
+            blk.self_attention = tnn.MultiheadAttention(
+                d, heads, batch_first=True)
+            blk.ln_2 = tnn.LayerNorm(d, eps=1e-6)
+            blk.mlp = tnn.Sequential(
+                tnn.Linear(d, ff), tnn.GELU(), tnn.Dropout(0.0),
+                tnn.Linear(ff, d), tnn.Dropout(0.0))
+            self.encoder.layers[f"encoder_layer_{i}"] = blk
+        self.encoder.ln = tnn.LayerNorm(d, eps=1e-6)
+        self.heads = tnn.Module()
+        self.heads.head = tnn.Linear(d, classes)
+
+    def forward(self, x):
+        x = self.conv_proj(x)                        # (B, D, h, w)
+        x = x.flatten(2).transpose(1, 2)             # (B, hw, D)
+        cls = self.class_token.expand(x.shape[0], -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.encoder.pos_embedding
+        for blk in self.encoder.layers.values():
+            y = blk.ln_1(x)
+            a, _ = blk.self_attention(y, y, y, need_weights=False)
+            x = x + a
+            x = x + blk.mlp(blk.ln_2(x))
+        x = self.encoder.ln(x)
+        return self.heads.head(x[:, 0])
+
+
+def test_vit_roundtrip():
+    from convert_torch import convert_vit
+    from fp8tpu.models.vision import tiny_vit
+
+    torch.manual_seed(3)
+    tm = TViT().eval()
+    with torch.no_grad():
+        tm.class_token.normal_(std=0.02)     # exercise the cls mapping
+    x = torch.randn(2, 3, 32, 32,
+                    generator=torch.Generator().manual_seed(4))
+    with torch.no_grad():
+        ref = tm(x).numpy()
+
+    model = tiny_vit(10)
+    variables = convert_vit(tm.state_dict(), model.cfg)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))   # NCHW → NHWC
+    out = model.apply(jax.tree.map(jnp.asarray, variables), xj)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_vit_rejects_wrong_architecture():
+    from convert_torch import convert_vit
+    from fp8tpu.models.vision import ViTConfig
+
+    tm = TViT(layers=2).eval()
+    bad = ViTConfig(image_size=32, patch_size=8, d_model=64, n_layers=1,
+                    n_heads=4, d_ff=128, num_classes=10)
+    with pytest.raises((KeyError, ValueError)):
+        convert_vit(tm.state_dict(), bad)

@@ -12,6 +12,8 @@ real for fp8tpu (VERDICT r4 next #4): it maps
     :class:`fp8tpu.models.resnet.ResNet` variables, and
   * HF ``BertForQuestionAnswering``/``BertModel`` state_dicts onto
     :class:`fp8tpu.models.bert.BertForQA` variables,
+  * torchvision ``VisionTransformer`` (vit_b_16-class) state_dicts onto
+    :class:`fp8tpu.models.vision.ViT` variables,
 
 with the layout transposes TPU needs (torch conv OIHW → flax HWIO,
 torch Linear (out,in) → flax (in,out)).  Roundtrip logits parity vs the
@@ -170,6 +172,58 @@ def convert_bert_qa(state_dict, cfg) -> dict:
     return {"params": params}
 
 
+def convert_vit(state_dict, cfg) -> dict:
+    """torchvision ``VisionTransformer`` state_dict → fp8tpu
+    :class:`fp8tpu.models.vision.ViT` variables.
+
+    Naming follows torchvision's vision_transformer.py: ``conv_proj``,
+    ``class_token``, ``encoder.pos_embedding``,
+    ``encoder.layers.encoder_layer_{i}.{ln_1,self_attention,ln_2,mlp}``
+    (the MLP is a Sequential — linears at .0/.3), ``encoder.ln``,
+    ``heads.head``.  The fused ``in_proj_weight`` is split into the
+    q/k/v Dense kernels (rows [0:D]/[D:2D]/[2D:3D], transposed to
+    flax (in, out))."""
+    sd = _Taken(state_dict)
+    D = cfg.d_model
+    params = {
+        "patch_embed": {"kernel": _conv(sd("conv_proj.weight")),
+                        "bias": _np(sd("conv_proj.bias"))},
+        "cls_token": _np(sd("class_token")),
+        "pos_embed": _np(sd("encoder.pos_embedding")),
+    }
+
+    def ln(src):
+        return {"scale": _np(sd(f"{src}.weight")),
+                "bias": _np(sd(f"{src}.bias"))}
+
+    for i in range(cfg.n_layers):
+        lp = f"encoder.layers.encoder_layer_{i}"
+        w = _np(sd(f"{lp}.self_attention.in_proj_weight"))
+        b = _np(sd(f"{lp}.self_attention.in_proj_bias"))
+        for j, nm in enumerate(("q", "k", "v")):
+            params[f"blk{i}_{nm}"] = {
+                "kernel": np.ascontiguousarray(w[j * D:(j + 1) * D].T),
+                "bias": b[j * D:(j + 1) * D]}
+        params[f"blk{i}_proj"] = {
+            "kernel": _dense(sd(f"{lp}.self_attention.out_proj.weight")),
+            "bias": _np(sd(f"{lp}.self_attention.out_proj.bias"))}
+        params[f"blk{i}_ln1"] = ln(f"{lp}.ln_1")
+        params[f"blk{i}_ln2"] = ln(f"{lp}.ln_2")
+        params[f"blk{i}_fc1"] = {"kernel": _dense(sd(f"{lp}.mlp.0.weight")),
+                                 "bias": _np(sd(f"{lp}.mlp.0.bias"))}
+        params[f"blk{i}_fc2"] = {"kernel": _dense(sd(f"{lp}.mlp.3.weight")),
+                                 "bias": _np(sd(f"{lp}.mlp.3.bias"))}
+
+    params["ln_f"] = ln("encoder.ln")
+    params["classifier"] = {"kernel": _dense(sd("heads.head.weight")),
+                            "bias": _np(sd("heads.head.bias"))}
+    left = sd.leftovers()
+    if left:
+        raise ValueError(f"unconsumed torch keys (architecture mismatch?): "
+                         f"{left[:8]}{'...' if len(left) > 8 else ''}")
+    return {"params": params}
+
+
 def main():
     import jax.numpy as jnp  # noqa: F401  (orbax needs jax initialized)
     import torch
@@ -187,9 +241,13 @@ def main():
     elif kind == "bert_qa":
         cfg = bert_base_config()
         variables = convert_bert_qa(sd, cfg)
+    elif kind == "vit_b16":
+        from fp8tpu.models.vision import vit_b16
+        model = vit_b16()
+        variables = convert_vit(sd, model.cfg)
     else:
         raise SystemExit(f"unknown kind {kind!r} "
-                         "(resnet18 | resnet50 | bert_qa)")
+                         "(resnet18 | resnet50 | bert_qa | vit_b16)")
     save_checkpoint(out, 0, variables)
     n = sum(np.prod(v.shape) for v in
             __import__("jax").tree.leaves(variables))
