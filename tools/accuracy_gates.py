@@ -640,6 +640,75 @@ def conv_gates(steps, results):
           f"(gap {acc32-accq:+.4f})")
 
 
+def vit_gates(steps, results):
+    """Trained-ViT PTQ gate: fp32-train the tiny ViT on pattern images,
+    then PTQ it at the reference dtype sweep through the public
+    quantize_model flow (first-conv + classifier exempt, calibration) —
+    the attention-family analog of conv_gates.
+
+    Two regimes: "clean" (noise 0.3, the conv gate's data — the task
+    saturates at 1.0, so the cell only proves no catastrophic damage)
+    and "hard" (noise 4.0 — fp32 lands below ceiling, giving PTQ
+    degradation headroom to show).  Gate: |top-1 delta| <= 0.02 per
+    dtype in both regimes."""
+    import fp8tpu
+    from fp8tpu.models.vision import VIT_EXEMPT, tiny_vit
+
+    def cell(noise):
+        xs, ys = pattern_images(4096, noise=noise, seed=0)
+        xe, ye = pattern_images(512, noise=noise, seed=9)
+        model = tiny_vit(8)
+        variables = model.init(jax.random.key(0), jnp.asarray(xs[:1]))
+        opt = optax.adamw(1e-3, weight_decay=1e-4)
+
+        def accuracy(apply_fn):
+            logits = apply_fn(jnp.asarray(xe))
+            return float((jnp.argmax(logits, -1) == jnp.asarray(ye))
+                         .mean())
+
+        @jax.jit
+        def step32(params, opt_state, bx, by):
+            def loss_of(p):
+                lg = model.apply({"params": p}, bx)
+                return jnp.mean(
+                    optax.softmax_cross_entropy_with_integer_labels(
+                        lg, by))
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        rng = np.random.default_rng(0)
+        params = variables["params"]
+        opt_state = opt.init(params)
+        for i in range(steps):
+            idx = rng.integers(0, len(xs), 64)
+            params, opt_state, _ = step32(params, opt_state,
+                                          jnp.asarray(xs[idx]),
+                                          jnp.asarray(ys[idx]))
+        trained = {"params": params}
+        acc32 = accuracy(jax.jit(lambda x: model.apply(trained, x)))
+
+        out = {"fp32_acc": round(acc32, 4)}
+        calib = [jnp.asarray(xs[i * 64:(i + 1) * 64]) for i in range(4)]
+        for dtype in ("e4m3", "e3m4", "hybrid"):
+            qm = fp8tpu.quantize_model(
+                model, trained, (jnp.asarray(xs[:2]),), dtype=dtype,
+                calibration_batches=calib,
+                list_exempt_layers=VIT_EXEMPT)
+            jq = jax.jit(lambda xb, qm=qm: qm.apply(xb,
+                                                    variables=qm.variables))
+            acc = accuracy(jq)
+            out[f"{dtype}_ptq_acc"] = round(acc, 4)
+            out[f"{dtype}_gap"] = round(acc32 - acc, 4)
+            print(f"[vit noise={noise}] {dtype:6s} PTQ acc {acc:.4f} "
+                  f"(gap {acc32-acc:+.4f})")
+        print(f"[vit noise={noise}] fp32 acc {acc32:.4f}")
+        return out
+
+    results["vit_ptq"] = {"steps": steps,
+                          "clean": cell(0.3),
+                          "hard_noise4": cell(4.0)}
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=None,
@@ -660,6 +729,8 @@ def main():
                          "streams dropped — localizes which stream "
                          "(fwd casts / activation grads / weight grads) "
                          "carries the convergence cost at scale")
+    ap.add_argument("--vit", action="store_true",
+                    help="run the trained-ViT PTQ gate (pattern images)")
     ap.add_argument("--moe", action="store_true",
                     help="run the trained-MoE serving/training gates "
                          "(small preset, 4 experts)")
@@ -710,6 +781,8 @@ def main():
                                 if r))
     if os.environ.get("ACC_SKIP_CONV") != "1":
         conv_gates(args.conv_steps, results)
+    if args.vit:
+        vit_gates(args.conv_steps, results)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
